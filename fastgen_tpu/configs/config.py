@@ -1,0 +1,207 @@
+"""Base config tree for fastgen-tpu.
+
+attrs-based config dataclasses matching the reference's public surface
+(``fastgen/configs/config.py:19-254``) with TPU-native replacements:
+
+* ``CuDNNConfig``/TF32 flags -> ``MatmulConfig`` (XLA matmul precision, bf16 policy)
+* ``ddp``/``fsdp``/``fsdp_sharding_group_size`` -> ``MeshConfig`` describing a GSPMD
+  device mesh ``(replica, fsdp)``; ``ddp=True`` is replicated params,
+  ``fsdp=True`` shards params over the ``fsdp`` axis, and setting
+  ``fsdp_sharding_group_size`` gives HSDP (2-D replicate x shard), exactly the
+  mapping of ``fastgen/utils/distributed/fsdp.py:100-113``.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict, List, Optional
+
+import attrs
+
+from fastgen_tpu.configs.lazy import LazyCall, LazyDict
+
+
+@attrs.define(slots=False)
+class MatmulConfig:
+    """XLA matmul/compute policy (replaces the reference's CuDNN/TF32 flags)."""
+
+    # jax matmul precision: "default" | "high" | "highest"
+    matmul_precision: str = "default"
+    # if True, networks run their big compute in bfloat16 (params stay fp32)
+    bfloat16_compute: bool = False
+
+
+@attrs.define(slots=False)
+class MeshConfig:
+    """GSPMD device mesh over which data/params are sharded.
+
+    A single mesh replaces DDP + FSDP2 + HSDP of the reference:
+      - dp axis shards the batch (DDP-equivalent)
+      - fsdp axis shards the batch AND the params (FSDP-equivalent)
+      - both > 1 is HSDP (2-D replicate x shard)
+      - tp axis shards attention heads / mlp hidden (tensor parallel; the
+        reference has no TP, this is a TPU-native extension)
+    Axis sizes of -1 mean "use all remaining devices".
+    """
+
+    dp: int = 1
+    fsdp: int = -1
+    tp: int = 1
+    # axis names, fixed order
+    axis_names: tuple = ("dp", "fsdp", "tp")
+
+
+@attrs.define(slots=False)
+class LogConfig:
+    project: str = "fastgen"
+    group: str = "cifar10"
+    name: str = "debug"
+    # metrics logging mode: "jsonl" (local file), "wandb" (if available), "disabled"
+    wandb_mode: str = "jsonl"
+    wandb_credential: str = "./credentials/wandb_api.txt"
+
+    @property
+    def save_path(self) -> str:
+        return os.path.join(
+            os.environ.get("FASTGEN_OUTPUT_ROOT", "FASTGEN_OUTPUT"),
+            f"{self.project}/{self.group}/{self.name}",
+        )
+
+
+@attrs.define(slots=False)
+class EvalConfig:
+    num_samples: int = 50000
+    save_images: bool = False
+    min_ckpt: int = 0
+    max_ckpt: int = 100000000
+    samples_dir: str = "samples"
+
+
+@attrs.define(slots=False)
+class BaseCheckpointerConfig:
+    save_dir: str = "checkpoints"
+    # orbax async checkpointing
+    async_save: bool = True
+    # keep at most N checkpoints (None = keep all)
+    max_to_keep: Optional[int] = None
+    use_s3: bool = False
+    s3_container: str = ""
+    s3_credential: str = ""
+    pretrained_ckpt_path: str = ""
+    pretrained_ckpt_key_map: Dict[str, str] = attrs.field(factory=lambda: {"net": "net"})
+
+
+@attrs.define(slots=False)
+class SampleTConfig:
+    """Config for sampling t from a time distribution (reference ``config.py:76-96``)."""
+
+    time_dist_type: str = "uniform"
+    train_p_mean: float = -1.1
+    train_p_std: float = 2.0
+    shift: float = 5.0
+    min_t: float = 0.002
+    max_t: float = 80.0
+    t_list: Optional[List[float]] = None
+    log_t_df: float = 0.01
+
+
+@attrs.define(slots=False)
+class BaseModelConfig:
+    # network config (LazyCall dict); filled by experiment configs
+    net: Any = None
+    # teacher config if different from net (e.g. CausVid)
+    teacher: Optional[Any] = None
+
+    guidance_scale: Optional[float] = None
+    skip_layers: Optional[List[int]] = None
+
+    net_optimizer: Any = None
+    net_scheduler: Any = None
+
+    sample_t_cfg: SampleTConfig = attrs.field(factory=SampleTConfig)
+
+    input_shape: List[int] = attrs.field(factory=lambda: [3, 32, 32])
+
+    pretrained_model_path: str = ""
+    pretrained_student_net_path: str = ""
+    load_student_weights: bool = True
+
+    enable_preprocessors: bool = True
+
+    # EMA: False, or a list of beta/halflife specs (see callbacks/ema.py)
+    use_ema: Any = False
+
+    student_sample_steps: int = 1
+    student_sample_type: str = "sde"
+
+    # On TPU there is no meta-device; the equivalent capability (init abstract
+    # shapes via jax.eval_shape, load weights once on host 0, device_put with
+    # sharding) is always on. Kept as a flag for config-surface parity.
+    fsdp_meta_init: bool = False
+    add_teacher_to_fsdp_dict: bool = True
+    ddp_find_unused_parameters: bool = True
+
+    # precision quartet (reference ``config.py:163-173``). On TPU, "precision"
+    # is the param/state dtype and "precision_amp" the compute dtype (bf16
+    # recommended; no grad scaler needed for bf16).
+    precision: str = "float32"
+    precision_amp: Optional[str] = None
+    precision_amp_infer: Optional[str] = None
+    precision_amp_enc: Optional[str] = None
+
+    # dropout RNG / conditioning dropout (method-specific configs extend this)
+    condition_dropout: float = 0.0
+
+
+@attrs.define(slots=False)
+class BaseTrainerConfig:
+    matmul: MatmulConfig = attrs.field(factory=MatmulConfig)
+    mesh: MeshConfig = attrs.field(factory=MeshConfig)
+    checkpointer: BaseCheckpointerConfig = attrs.field(factory=BaseCheckpointerConfig)
+
+    # callbacks configs: dict of name -> LazyCall
+    callbacks: Any = attrs.field(factory=dict)
+
+    save_ckpt_iter: int = 5000
+    validation_iter: int = 1000
+    logging_iter: int = 1000
+    max_iter: int = 1000000
+    visualize_teacher: bool = False
+
+    seed: int = 0
+    val_seed: Optional[int] = None
+    resume: bool = True
+
+    # parallelism surface parity flags; resolved into MeshConfig by the trainer
+    ddp: bool = False
+    fsdp: bool = False
+    fsdp_sharding_group_size: Optional[int] = None
+
+    # per-device batch size is dataloader_train.batch_size; grad-accum math
+    # mirrors the reference (``utils/scripts.py:95-108``)
+    grad_accum_rounds: int = 1
+    batch_size_global: Optional[int] = None
+
+    offload_module_in_decoding: bool = False
+
+    global_vars: Optional[dict] = None
+    global_vars_val: List[Optional[dict]] = attrs.field(factory=lambda: [None])
+
+    augment_pipe: Optional[Any] = None
+
+
+@attrs.define(slots=False)
+class BaseConfig:
+    log_config: LogConfig = attrs.field(factory=LogConfig)
+    trainer: BaseTrainerConfig = attrs.field(factory=BaseTrainerConfig)
+    model: BaseModelConfig = attrs.field(factory=BaseModelConfig)
+    # LazyCall of the method class, e.g. L(DMD2Model)(config=None)
+    model_class: Any = None
+    dataloader_train: Any = None
+    dataloader_val: Any = None
+    eval: EvalConfig = attrs.field(factory=EvalConfig)
+
+
+def make_base_config() -> BaseConfig:
+    return BaseConfig()

@@ -1,0 +1,140 @@
+"""Discriminator heads over teacher features (ref ``fastgen/networks/discriminators.py``).
+
+NHWC flax modules. ``feature_indices`` selects which backbone blocks feed the
+heads (the backbones extract them via the static ``feature_indices`` forward
+argument). Logits are concatenated per-head to [B, num_heads] as the GAN losses
+expect 2-D logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def _get_optimal_groups(num_channels: int) -> int:
+    """GroupNorm group count rule (ref ``discriminators.py:34-54``)."""
+    if num_channels <= 32:
+        groups = max(1, num_channels // 4)
+    else:
+        groups = 32
+        while groups > 1 and num_channels % groups != 0:
+            groups -= 1
+    assert num_channels % groups == 0
+    return groups
+
+
+class Discriminator(nn.Module):
+    """Base class carrying the feature-index contract (ref ``discriminators.py:9-31``)."""
+
+    feature_indices: Optional[Tuple[int, ...]] = None
+
+    def __call__(self, feats: List[jnp.ndarray]) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+class _ConvHead(nn.Module):
+    """One multi-resolution conv head: downsample to 1x1 then 1x1-conv to a logit."""
+
+    in_res: int
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        res = self.in_res
+        groups = _get_optimal_groups(self.channels)
+        while res > 8:
+            x = nn.Conv(self.channels, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+            x = nn.GroupNorm(num_groups=groups)(x)
+            x = nn.silu(x)
+            res //= 2
+        x = nn.Conv(self.channels, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)))(x)
+        x = nn.GroupNorm(num_groups=groups)(x)
+        x = nn.silu(x)
+        x = nn.Conv(self.channels, (4, 4), strides=(4, 4), padding="VALID")(x)
+        x = nn.GroupNorm(num_groups=groups)(x)
+        x = nn.silu(x)
+        x = nn.Conv(1, (1, 1))(x)
+        return x.reshape(x.shape[0], -1)[:, :1]
+
+
+class Discriminator_EDM(Discriminator):
+    """Multi-resolution conv heads over EDM encoder features
+    (ref ``discriminators.py:62-137``)."""
+
+    all_res: Tuple[int, ...] = (32, 16, 8)
+    in_channels: int = 256
+
+    @property
+    def resolved_feature_indices(self) -> Tuple[int, ...]:
+        if self.feature_indices is None:
+            return (len(self.all_res) - 1,)
+        return tuple(sorted(i for i in self.feature_indices if i < len(self.all_res)))
+
+    @property
+    def in_res(self) -> Tuple[int, ...]:
+        return tuple(self.all_res[i] for i in self.resolved_feature_indices)
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray]) -> jnp.ndarray:
+        assert isinstance(feats, (list, tuple))
+        in_res = self.in_res
+        if len(feats) != len(in_res):
+            raise ValueError(f"Got {len(feats)} features for {len(in_res)} heads")
+        logits = []
+        for i, res in enumerate(in_res):
+            assert feats[i].shape[1] == res, (
+                f"feature {i} has resolution {feats[i].shape[1]}, expected {res}")
+            logits.append(_ConvHead(res, self.in_channels, name=f"head_{i}")(feats[i]))
+        return jnp.concatenate(logits, axis=1)
+
+
+class Discriminator_SD15(Discriminator_EDM):
+    all_res: Tuple[int, ...] = (32, 16, 8, 8, 8)
+    in_channels: int = 1280
+
+
+class Discriminator_SDXL(Discriminator_EDM):
+    all_res: Tuple[int, ...] = (32, 16, 16, 16)
+    in_channels: int = 1280
+
+
+class Discriminator_ImageDiT(Discriminator):
+    """Lightweight 2-layer conv heads over DiT token features
+    (ref ``discriminators.py:170-253``). Features come in as [B, H, W, C]."""
+
+    num_blocks: int = 57
+    inner_dim: int = 3072
+
+    @property
+    def resolved_feature_indices(self) -> Tuple[int, ...]:
+        if self.feature_indices is None:
+            return (self.num_blocks // 2,)
+        return tuple(sorted(i for i in self.feature_indices if i < self.num_blocks))
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray]) -> jnp.ndarray:
+        indices = self.resolved_feature_indices
+        if len(feats) != len(indices):
+            raise ValueError(f"Got {len(feats)} features for {len(indices)} heads")
+        logits = []
+        for i, f in enumerate(feats):
+            h = nn.Conv(128, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        name=f"head_{i}_conv0")(f)
+            h = nn.GroupNorm(num_groups=_get_optimal_groups(128), name=f"head_{i}_norm")(h)
+            h = nn.silu(h)
+            h = nn.Conv(1, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+                        name=f"head_{i}_conv1")(h)
+            logits.append(jnp.mean(h, axis=(1, 2)))
+        return jnp.concatenate(logits, axis=1)
+
+
+DISCRIMINATORS = {
+    "edm": Discriminator_EDM,
+    "sd15": Discriminator_SD15,
+    "sdxl": Discriminator_SDXL,
+    "image_dit": Discriminator_ImageDiT,
+}
