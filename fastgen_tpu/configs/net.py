@@ -1,0 +1,83 @@
+"""Network config zoo (ref ``fastgen/configs/net.py``).
+
+``build_edm`` keeps the reference's flat-kwargs surface (backbone hyperparams
+inline with the precond's) while the flax EDMPrecond takes them as a
+``model_kwargs`` dict.
+"""
+
+from __future__ import annotations
+
+import os
+
+from fastgen_tpu.configs.lazy import LazyCall as L
+
+OUTPUT_ROOT = os.environ.get("FASTGEN_OUTPUT_ROOT", "FASTGEN_OUTPUT")
+CKPT_ROOT_DIR = os.getenv("CKPT_ROOT_DIR", f"{OUTPUT_ROOT}/MODEL")
+
+_EDM_PRECOND_FIELDS = {
+    "img_resolution", "img_channels", "label_dim", "sigma_data", "sigma_shift",
+    "model_type", "drop_precond", "net_pred_type", "schedule_type", "schedule_kwargs",
+}
+
+
+def build_edm(**kwargs):
+    from fastgen_tpu.networks.edm.network import EDMPrecond
+
+    precond = {k: v for k, v in kwargs.items() if k in _EDM_PRECOND_FIELDS}
+    model_kwargs = {k: v for k, v in kwargs.items() if k not in _EDM_PRECOND_FIELDS}
+    return EDMPrecond(model_kwargs=model_kwargs, **precond)
+
+
+EDM_CIFAR10_Config = L(build_edm)(
+    img_resolution=32,
+    img_channels=3,
+    label_dim=10,
+    sigma_shift=0.0,
+    sigma_data=0.5,
+    model_type="SongUNet",
+    augment_dim=9,
+    model_channels=128,
+    channel_mult=[2, 2, 2],
+    channel_mult_noise=1,
+    embedding_type="positional",
+    encoder_type="standard",
+    decoder_type="standard",
+    resample_filter=[1, 1],
+    dropout=0.0,
+    label_dropout=0,
+    r_timestep=False,
+    drop_precond=None,
+)
+
+EDM_ImageNet64_Config = L(build_edm)(
+    img_resolution=64,
+    img_channels=3,
+    label_dim=1000,
+    sigma_shift=0.0,
+    sigma_data=0.5,
+    model_type="DhariwalUNet",
+    augment_dim=0,
+    model_channels=192,
+    channel_mult=[1, 2, 3, 4],
+    channel_mult_emb=4,
+    num_blocks=3,
+    attn_resolutions=[32, 16, 8],
+    dropout=0.0,
+    label_dropout=0,
+    r_timestep=False,
+    drop_precond=None,
+)
+
+# Tiny config for smoke tests / CI (CPU-runnable)
+EDM_Test_Config = L(build_edm)(
+    img_resolution=16,
+    img_channels=3,
+    label_dim=10,
+    sigma_data=0.5,
+    model_type="SongUNet",
+    model_channels=16,
+    channel_mult=[1, 2],
+    num_blocks=1,
+    attn_resolutions=[8],
+    dropout=0.0,
+)

@@ -42,14 +42,12 @@ class LambdaLinearScheduler:
         self.cum_cycles = np.cumsum([0] + list(cycle_lengths))
 
     def _cycle_schedule(self, i: int, n):
-        warm = self.warm_up_steps[i]
-        warm_f = ((self.f_max[i] - self.f_start[i]) / max(warm, 1)) * n + self.f_start[i]
-        denom = max(self.cycle_lengths[i] - warm, 1)
+        warm = float(self.warm_up_steps[i])
+        warm_f = ((self.f_max[i] - self.f_start[i]) / max(warm, 1.0)) * n + self.f_start[i]
+        denom = max(float(self.cycle_lengths[i]) - warm, 1.0)
         t = jnp.clip((n - warm) / denom, 0.0, 1.0)
-        lin_f = self.f_min[i] + (self.f_max[i] - self.f_min[i]) * (self.cycle_lengths[i] - n) / denom
         # linear decay from f_max at warm to f_min at cycle end
         decay_f = self.f_max[i] + (self.f_min[i] - self.f_max[i]) * t
-        del lin_f
         return jnp.where(n < warm, warm_f, decay_f)
 
     def schedule(self, n):
@@ -69,9 +67,9 @@ class LambdaWarmUpCosineScheduler2(LambdaLinearScheduler):
     """Cosine variant (ref ``lr_scheduler.py`` LambdaWarmUpCosineScheduler2)."""
 
     def _cycle_schedule(self, i: int, n):
-        warm = self.warm_up_steps[i]
-        warm_f = ((self.f_max[i] - self.f_start[i]) / max(warm, 1)) * n + self.f_start[i]
-        denom = max(self.cycle_lengths[i] - warm, 1)
+        warm = float(self.warm_up_steps[i])
+        warm_f = ((self.f_max[i] - self.f_start[i]) / max(warm, 1.0)) * n + self.f_start[i]
+        denom = max(float(self.cycle_lengths[i]) - warm, 1.0)
         t = jnp.clip((n - warm) / denom, 0.0, 1.0)
         cos_f = self.f_min[i] + 0.5 * (self.f_max[i] - self.f_min[i]) * (1 + jnp.cos(t * jnp.pi))
         return jnp.where(n < warm, warm_f, cos_f)

@@ -1,0 +1,422 @@
+"""Functional method base: the TPU-native redesign of ``FastGenModel``.
+
+The reference (``fastgen/methods/model.py:26-700``) is a mutable nn.Module that
+owns networks, optimizers, EMA copies and an autocast/GradScaler stack. The
+TPU-native design is purely functional:
+
+* ``MethodState`` — one pytree holding every net's params, per-net optax
+  states, EMA param copies and the iteration counter. It is donated through the
+  jitted train step, so all of DDP/FSDP/EMA/optimizer logic is a single XLA
+  program with GSPMD-inserted collectives.
+* ``FastGenModel`` (same public name) — a host-side object holding the linen
+  module definitions, optax transforms and config. ``train_step(phase)``
+  returns a pure ``(state, batch, rng) -> (state, loss_map, outputs)`` that the
+  trainer jits (with sharding annotations) once per training phase; the
+  reference's phase-routed optimizers (``dmd2.py:473-501``) become two compiled
+  programs selected by ``iteration % student_update_freq`` in Python.
+* no GradScaler: params live in ``precision`` (fp32), compute optionally in
+  bf16 (``precision_amp``), which needs no loss scaling on TPU.
+* EMA is a sharded lerp fused into the step (strictly better than the
+  reference's FSDP ``full_tensor()`` gather per step, ``callbacks/ema.py:114``).
+* random phases (rank-0 sample + broadcast in the reference,
+  ``self_forcing.py:73-89``) are identical seeded draws on every host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from fastgen_tpu.configs.opt import make_optimizer
+from fastgen_tpu.methods import common_loss
+from fastgen_tpu.utils import PRECISION_MAP, expand_like, instantiate
+from fastgen_tpu.utils import logging_utils as logger
+
+
+def convert_cfg_to_dict(cfg) -> dict:
+    """attrs/LazyDict config -> kwargs dict (reference ``basic_utils.convert_cfg_to_dict``)."""
+    import attrs
+
+    if cfg is None:
+        return {}
+    if isinstance(cfg, dict):
+        return {k: v for k, v in cfg.items() if k != "_target_"}
+    if attrs.has(type(cfg)):
+        return attrs.asdict(cfg)
+    raise TypeError(f"Cannot convert {type(cfg)} to dict")
+
+
+class MethodState(struct.PyTreeNode):
+    """The complete training state as one donated pytree."""
+
+    params: Dict[str, Any]         # per-net parameter trees ("net", "teacher", ...)
+    opt_states: Dict[str, Any]     # optax states for trainable nets
+    ema: Dict[str, Any]            # {ema_name: params-like tree for "net"}
+    iteration: jnp.ndarray         # scalar int32
+
+    def param_count(self, key: str = "net") -> int:
+        return sum(p.size for p in jax.tree_util.tree_leaves(self.params[key]))
+
+
+def _tree_cast(tree, dtype):
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if (hasattr(x, "dtype") and
+                                      jnp.issubdtype(x.dtype, jnp.floating)) else x,
+        tree)
+
+
+def ema_beta_from_spec(spec, iteration=None):
+    """EMA decay for a spec (mirrors EMACallback beta/power/halflife modes)."""
+    if isinstance(spec, (int, float)):
+        return jnp.asarray(spec, jnp.float32)
+    kind = spec.get("type", "constant")
+    if kind == "constant":
+        return jnp.asarray(spec["beta"], jnp.float32)
+    if kind == "power":
+        # EDM2 power-law EMA: beta = (1 - 1/t)^(gamma+1)
+        gamma = spec.get("gamma", 6.94)
+        t = jnp.maximum(iteration.astype(jnp.float32), 1.0)
+        return (1.0 - 1.0 / t) ** (gamma + 1)
+    if kind == "halflife":
+        # halflife in iterations
+        hl = spec["halflife_iters"]
+        return jnp.asarray(0.5 ** (1.0 / hl), jnp.float32)
+    raise ValueError(f"Unknown EMA spec {spec!r}")
+
+
+def ema_name_from_spec(spec) -> str:
+    if isinstance(spec, (int, float)):
+        return f"ema_{spec}"
+    kind = spec.get("type", "constant")
+    if kind == "constant":
+        return f"ema_{spec['beta']}"
+    if kind == "power":
+        return f"ema_power_{spec.get('gamma', 6.94)}"
+    return f"ema_halflife_{spec['halflife_iters']}"
+
+
+class FastGenModel:
+    """Host-side method object: module defs + optax transforms + pure step fns.
+
+    Subclasses implement:
+      * ``network_keys`` / ``trainable_keys(phase)`` / ``phases``
+      * ``phase_for_iteration(iteration) -> str`` (Python-level routing)
+      * ``compute_losses(params, batch, rng, iteration, phase) -> (loss_map, outputs)``
+    """
+
+    def __init__(self, config):
+        self.config = config
+        self.precision = PRECISION_MAP[config.precision]
+        self.precision_amp = PRECISION_MAP.get(config.precision_amp) if config.precision_amp else None
+        self.precision_amp_infer = (PRECISION_MAP.get(config.precision_amp_infer)
+                                    if config.precision_amp_infer else None)
+        self.input_shape = tuple(config.input_shape)
+        self.nets: Dict[str, Any] = {}       # linen modules per key
+        self.txs: Dict[str, optax.GradientTransformation] = {}
+        self.build_model()
+
+    # ------------------------------------------------------------- structure
+    @property
+    def phases(self) -> Tuple[str, ...]:
+        return ("student",)
+
+    def phase_for_iteration(self, iteration: int) -> str:
+        return "student"
+
+    def trainable_keys(self, phase: str) -> Tuple[str, ...]:
+        return ("net",)
+
+    @property
+    def net(self):
+        return self.nets["net"]
+
+    @property
+    def teacher(self):
+        return self.nets.get("teacher")
+
+    @property
+    def model_dict(self) -> Dict[str, Any]:
+        """Module definitions to checkpoint/shard (ref ``model.py:654-700``)."""
+        return dict(self.nets)
+
+    # ------------------------------------------------------------- building
+    def build_model(self):
+        logger.info("Instantiating the generator network")
+        self.nets["net"] = instantiate(self.config.net)
+
+    def build_teacher(self):
+        teacher_cfg = self.config.teacher if self.config.teacher is not None else self.config.net
+        self.nets["teacher"] = instantiate(teacher_cfg)
+
+    def init_optimizers(self):
+        """Create optax transforms per trainable net (ref ``model.py:514-536``)."""
+        self.txs["net"] = make_optimizer(self.config.net_optimizer,
+                                         self.config.net_scheduler)
+
+    # --------------------------------------------------------------- state
+    def _init_net_params(self, key, net_key: str, rng, params_so_far=None) -> Any:
+        net = self.nets[net_key]
+        batch = self.example_batch(batch_size=1)
+        x = batch["real"]
+        t = jnp.ones((x.shape[0],), jnp.float32)
+        variables = net.init({"params": rng, "dropout": rng}, x, t,
+                             condition=batch.get("condition"))
+        return variables
+
+    def example_batch(self, batch_size: int = 1) -> Dict[str, Any]:
+        """Synthetic batch matching the data contract, for shape inference."""
+        x = jnp.zeros((batch_size,) + self.input_shape, self.precision)
+        label_dim = getattr(self.nets["net"], "label_dim", 0)
+        cond = jnp.zeros((batch_size, label_dim), self.precision) if label_dim else None
+        return {"real": x, "condition": cond, "neg_condition": cond}
+
+    def init_order(self) -> Tuple[str, ...]:
+        """Init order: nets that others depend on (teacher feature shapes for
+        discriminator heads) come first."""
+        preferred = [k for k in ("net", "teacher", "fake_score") if k in self.nets]
+        rest = sorted(k for k in self.nets if k not in preferred)
+        return tuple(preferred + rest)
+
+    def init_state(self, rng) -> MethodState:
+        """Initialize all params / optimizer states / EMA copies."""
+        if not self.txs:
+            self.init_optimizers()
+        params: Dict[str, Any] = {}
+        order = self.init_order()
+        keys = jax.random.split(rng, len(order))
+        for k, name in zip(keys, order):
+            params[name] = _tree_cast(self._init_net_params(k, name, k, params),
+                                      self.precision)
+
+        # teacher-seeded nets (e.g. fake_score starts from teacher weights)
+        params = self.post_init_params(params)
+
+        opt_states = {k: self.txs[k].init(params[k]["params"])
+                      for k in self.txs if k in params}
+        ema = {}
+        for spec in self.ema_specs():
+            # real copies: donation requires distinct buffers
+            ema[ema_name_from_spec(spec)] = jax.tree_util.tree_map(
+                jnp.copy, params["net"])
+        return MethodState(params=params, opt_states=opt_states, ema=ema,
+                           iteration=jnp.zeros((), jnp.int32))
+
+    def post_init_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        return params
+
+    def ema_specs(self):
+        use_ema = self.config.use_ema
+        if not use_ema:
+            return []
+        if isinstance(use_ema, (list, tuple)):
+            return list(use_ema)
+        return [use_ema] if not isinstance(use_ema, bool) else [0.9999]
+
+    # --------------------------------------------------------------- losses
+    def _prepare_training_data(self, batch):
+        """(real, condition, neg_condition) from the batch dict
+        (ref ``model.py:431-485``; video condition assembly comes with the
+        video methods)."""
+        return batch["real"], batch.get("condition"), batch.get("neg_condition")
+
+    def mix_condition(self, rng, condition, neg_condition, dropout_prob,
+                      keys_no_dropout=()):
+        """Per-sample CFG condition dropout (ref ``sft.py:33-76``)."""
+        if dropout_prob is None or condition is None:
+            return condition
+        if isinstance(condition, dict):
+            drop_keys = [k for k in condition if k not in keys_no_dropout]
+            if not drop_keys:
+                return condition
+            b = condition[drop_keys[0]].shape[0]
+            keep = jax.random.uniform(rng, (b,)) >= dropout_prob
+            out = dict(condition)
+            for k in drop_keys:
+                mask = expand_like(keep, condition[k])
+                out[k] = jnp.where(mask, condition[k], neg_condition[k])
+            return out
+        b = condition.shape[0]
+        keep = jax.random.uniform(rng, (b,)) >= dropout_prob
+        return jnp.where(expand_like(keep, condition), condition, neg_condition)
+
+    def compute_losses(self, params, batch, rng, iteration, phase):
+        raise NotImplementedError
+
+    def apply_net(self, params, net_key, *args, compute_dtype=None, **kwargs):
+        """Apply a net with optional bf16 compute casting (AMP-equivalent)."""
+        net = self.nets[net_key]
+        variables = params[net_key]
+        if compute_dtype is None:
+            compute_dtype = self.precision_amp
+        if compute_dtype is not None:
+            variables = _tree_cast(variables, compute_dtype)
+            args = tuple(a.astype(compute_dtype)
+                         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                         and a.ndim > 1 else a
+                         for a in args)
+        return net.apply(variables, *args, **kwargs)
+
+    # ----------------------------------------------------------- train step
+    def make_train_step(self, phase: str) -> Callable:
+        """Build the pure train step for one phase. jit/donate by the trainer."""
+        trainable = self.trainable_keys(phase)
+        ema_specs = self.ema_specs()
+
+        def step(state: MethodState, batch, rng):
+            def loss_fn(train_params):
+                params = dict(state.params)
+                for k in trainable:
+                    params[k] = {**state.params[k], "params": train_params[k]}
+                loss_map, outputs = self.compute_losses(
+                    params, batch, rng, state.iteration, phase)
+                return loss_map["total_loss"], (loss_map, outputs)
+
+            train_params = {k: state.params[k]["params"] for k in trainable}
+            (_, (loss_map, outputs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(train_params)
+
+            gnorm = optax.global_norm(grads)
+            loss_map = dict(loss_map)
+            loss_map["grad_norm"] = gnorm
+
+            new_params = dict(state.params)
+            new_opt = dict(state.opt_states)
+            for k in trainable:
+                updates, new_opt[k] = self.txs[k].update(
+                    grads[k], state.opt_states[k], state.params[k]["params"])
+                new_params[k] = {**state.params[k],
+                                 "params": optax.apply_updates(
+                                     state.params[k]["params"], updates)}
+
+            ema = state.ema
+            if ema_specs and "net" in trainable:
+                ema = {}
+                for spec in ema_specs:
+                    name = ema_name_from_spec(spec)
+                    beta = ema_beta_from_spec(spec, state.iteration)
+                    ema[name] = jax.tree_util.tree_map(
+                        lambda e, p: e * beta + p.astype(e.dtype) * (1 - beta),
+                        state.ema[name], new_params["net"])
+
+            new_state = state.replace(params=new_params, opt_states=new_opt,
+                                      ema=ema, iteration=state.iteration + 1)
+            return new_state, loss_map, outputs
+
+        return step
+
+    def make_grad_step(self, phase: str) -> Callable:
+        """Gradient-only step for grad accumulation (reference no-sync rounds,
+        ``trainer.py:310-329``): returns grads + loss_map, no state mutation."""
+        trainable = self.trainable_keys(phase)
+
+        def gstep(state: MethodState, batch, rng):
+            def loss_fn(train_params):
+                params = dict(state.params)
+                for k in trainable:
+                    params[k] = {**state.params[k], "params": train_params[k]}
+                loss_map, outputs = self.compute_losses(
+                    params, batch, rng, state.iteration, phase)
+                return loss_map["total_loss"], (loss_map, outputs)
+
+            train_params = {k: state.params[k]["params"] for k in trainable}
+            (_, (loss_map, outputs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(train_params)
+            return grads, loss_map, outputs
+
+        return gstep
+
+    def make_apply_step(self, phase: str) -> Callable:
+        """Apply pre-accumulated grads (optimizer + EMA + iteration bump)."""
+        trainable = self.trainable_keys(phase)
+        ema_specs = self.ema_specs()
+
+        def astep(state: MethodState, grads):
+            new_params = dict(state.params)
+            new_opt = dict(state.opt_states)
+            for k in trainable:
+                updates, new_opt[k] = self.txs[k].update(
+                    grads[k], state.opt_states[k], state.params[k]["params"])
+                new_params[k] = {**state.params[k],
+                                 "params": optax.apply_updates(
+                                     state.params[k]["params"], updates)}
+            ema = state.ema
+            if ema_specs and "net" in trainable:
+                ema = {}
+                for spec in ema_specs:
+                    name = ema_name_from_spec(spec)
+                    beta = ema_beta_from_spec(spec, state.iteration)
+                    ema[name] = jax.tree_util.tree_map(
+                        lambda e, p: e * beta + p.astype(e.dtype) * (1 - beta),
+                        state.ema[name], new_params["net"])
+            return state.replace(params=new_params, opt_states=new_opt, ema=ema,
+                                 iteration=state.iteration + 1)
+
+        return astep
+
+    # ------------------------------------------------------------- sampling
+    def _student_sample_loop(self, params_net, x, t_list, rng, condition=None,
+                            student_sample_type: str = "sde", net_key: str = "net",
+                            params_full=None, **kwargs):
+        """Few-step student sampling (ref ``model.py:315-372``).
+
+        t_list is a static numpy array -> the loop unrolls under jit
+        (1-4 steps). SDE re-noises with fresh eps; ODE reuses the implied eps.
+        """
+        net = self.nets[net_key]
+        ns = net.noise_scheduler
+        batch_size = x.shape[0]
+        x_pred = x
+        for i, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
+            t_batch = jnp.full((batch_size,), t_cur, jnp.float32)
+            x_pred = net.apply(params_net, x, t_batch, condition=condition,
+                               fwd_pred_type="x0", **kwargs)
+            if float(t_next) > 0:
+                t_next_batch = jnp.full((batch_size,), t_next, jnp.float32)
+                if student_sample_type == "sde":
+                    rng, sub = jax.random.split(rng)
+                    eps_infer = jax.random.normal(sub, x_pred.shape, x_pred.dtype)
+                elif student_sample_type == "ode":
+                    eps_infer = ns.x0_to_eps(x, x_pred, t_batch)
+                else:
+                    raise NotImplementedError(student_sample_type)
+                x = ns.forward_process(x_pred, eps_infer, t_next_batch)
+        return x_pred
+
+    def generator_fn(self, params_net, noise, rng=None, student_sample_steps: int = 1,
+                     t_list=None, condition=None, data=None,
+                     student_sample_type: str = "sde", net_key: str = "net", **kwargs):
+        """Few-step generation entry (ref ``model.py:374-420``)."""
+        net = self.nets[net_key]
+        ns = net.noise_scheduler
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        if t_list is None:
+            t_list = ns.get_t_list(student_sample_steps)
+        else:
+            t_list = np.asarray(t_list, np.float32)
+            assert len(t_list) - 1 == student_sample_steps
+        assert float(t_list[-1]) == 0.0, "t_list[-1] must be zero"
+        latents = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
+        if data is not None:
+            latents = latents + data
+        out = self._student_sample_loop(params_net, latents, t_list, rng,
+                                        condition=condition,
+                                        student_sample_type=student_sample_type,
+                                        net_key=net_key, **kwargs)
+        return out.astype(noise.dtype)
+
+    def sample_teacher(self, params, noise, net_key: str = "teacher", **kwargs):
+        """Full multi-step sampling via the net's own sampler."""
+        net = self.nets[net_key]
+        return net.apply(params[net_key], noise, method=net.sample,
+                         guidance_scale=self.config.guidance_scale, **kwargs)

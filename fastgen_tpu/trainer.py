@@ -1,0 +1,231 @@
+"""Training loop (ref ``fastgen/trainer.py``).
+
+Same skeleton as the reference — grad accumulation, validation cadence,
+checkpoint cadence, auto-resume, callback hooks — but the step itself is one
+jitted XLA program per training phase with the donated ``MethodState``:
+
+* DDP/FSDP wrap (``trainer.py:107-111``) -> state sharded onto the mesh once
+  (``parallel.mesh.shard_state``); collectives come from GSPMD.
+* AMP/GradScaler (``trainer.py:285-339``) -> bf16 compute policy inside the
+  step; no scaler.
+* grad-accum no-sync (``trainer.py:310-329``) -> grad-only steps summed on
+  device, then one apply step. Single-round accumulation uses a fused
+  step+update program.
+* per-iteration RNG: ``fold_in(seed, iteration)`` (the reference re-seeds
+  ``seed + iteration`` per rank, ``basic_utils.py:128-166``); identical across
+  hosts so "rank-0 sample + broadcast" patterns become plain seeded draws.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fastgen_tpu.callbacks.callback import CallbackDict
+from fastgen_tpu.parallel import mesh as mesh_lib
+from fastgen_tpu.utils import instantiate
+from fastgen_tpu.utils import logging_utils as logger
+from fastgen_tpu.utils.autoresume import NoOpAutoResume
+from fastgen_tpu.utils.checkpointer import Checkpointer
+
+
+class Trainer:
+    def __init__(self, config, autoresume=None):
+        self.config = config
+        os.makedirs(config.log_config.save_path, exist_ok=True)
+        self.callbacks = CallbackDict(config, self)
+        ckpt_cfg = config.trainer.checkpointer
+        save_dir = ckpt_cfg.save_dir
+        if not os.path.isabs(save_dir):
+            save_dir = os.path.join(config.log_config.save_path, save_dir)
+        self.checkpointer = Checkpointer(save_dir, max_to_keep=ckpt_cfg.max_to_keep,
+                                         async_save=ckpt_cfg.async_save)
+        self.autoresume = autoresume or NoOpAutoResume()
+        self.mesh = mesh_lib.mesh_from_trainer_config(config.trainer)
+        jax.config.update("jax_default_matmul_precision",
+                          config.trainer.matmul.matmul_precision)
+        logger.info(f"Mesh: {dict(self.mesh.shape)} over {len(jax.devices())} devices")
+
+    # ------------------------------------------------------------------ setup
+    def _grad_accum_rounds(self, batch_size_per_process: int) -> int:
+        """Global-batch -> accumulation math (ref ``utils/scripts.py:95-108``)."""
+        cfg = self.config.trainer
+        if cfg.batch_size_global is None:
+            return cfg.grad_accum_rounds
+        world = mesh_lib.process_count()
+        denom = batch_size_per_process * world
+        assert cfg.batch_size_global % denom == 0, (
+            f"batch_size_global={cfg.batch_size_global} not divisible by "
+            f"{batch_size_per_process}x{world}")
+        rounds = cfg.batch_size_global // denom
+        logger.info(f"grad_accum_rounds = {rounds} "
+                    f"(global {cfg.batch_size_global} / per-process {batch_size_per_process} / world {world})")
+        return rounds
+
+    # -------------------------------------------------------------------- run
+    def run(self, model) -> None:
+        cfg = self.config.trainer
+        cb = self.callbacks
+        cb.on_app_begin()
+
+        cb.on_optimizer_init_start(model)
+        model.init_optimizers()
+        cb.on_optimizer_init_end(model)
+
+        # state init + sharding (meta-init equivalent)
+        rng = jax.random.PRNGKey(cfg.seed)
+        cb.on_model_init_start(model)
+        with jax.default_device(jax.local_devices()[0]):
+            state = model.init_state(rng)
+        state, self.state_shardings = mesh_lib.shard_state(state, self.mesh,
+                                                           fsdp=cfg.fsdp)
+        cb.on_model_init_end(model)
+
+        # resume
+        cb.on_load_checkpoint_start(model)
+        iter_start = 0
+        if cfg.resume:
+            restored, meta, step = self.checkpointer.load(state)
+            if restored is not None:
+                state = jax.device_put(restored, self.state_shardings)
+                iter_start = int(step)
+                if meta and "callbacks" in meta:
+                    cb.load_state_dict(meta["callbacks"])
+        cb.on_load_checkpoint_end(model, iteration=iter_start)
+
+        # compiled step programs, one per phase
+        train_steps = {p: jax.jit(model.make_train_step(p), donate_argnums=0)
+                       for p in model.phases}
+        grad_steps = {p: jax.jit(model.make_grad_step(p)) for p in model.phases}
+        apply_steps = {p: jax.jit(model.make_apply_step(p), donate_argnums=0)
+                       for p in model.phases}
+
+        # dataloaders; exact sample-index resume (ref ``trainer.py:156-163``)
+        cb.on_dataloader_init_start(model, iteration=iter_start)
+        loader_cfg = self.config.dataloader_train
+        batch_size = loader_cfg["batch_size"] if isinstance(loader_cfg, dict) else loader_cfg.batch_size
+        accum = self._grad_accum_rounds(batch_size)
+        sampler_start_idx = iter_start * batch_size * accum * mesh_lib.process_count()
+        loader = instantiate(loader_cfg, sampler_start_idx=sampler_start_idx)
+        train_iter = iter(loader)
+        val_loader_cfg = self.config.dataloader_val
+        cb.on_dataloader_init_end(model, iteration=iter_start)
+
+        cb.on_train_begin(model, state=state, iteration=iter_start)
+        logger.info(f"Starting training loop at iteration {iter_start + 1} "
+                    f"(max {cfg.max_iter})")
+
+        base_key = jax.random.PRNGKey(cfg.seed)
+        loss_map_host: Dict[str, Any] = {}
+        outputs = None
+        for iteration in range(iter_start + 1, cfg.max_iter + 1):
+            cb.on_training_step_begin(model, state=state, iteration=iteration)
+            phase = model.phase_for_iteration(iteration)
+            step_key = jax.random.fold_in(base_key, iteration)
+
+            _dbg = os.environ.get("FASTGEN_TRAINER_DEBUG")
+            if _dbg:
+                print(f"[dbg] iter {iteration} phase {phase} accum {accum}", flush=True)
+            if accum == 1:
+                batch = mesh_lib.shard_batch(next(train_iter), self.mesh)
+                cb.on_training_accum_step_begin(model, state=state, iteration=iteration)
+                state, loss_map, outputs = train_steps[phase](state, batch, step_key)
+            else:
+                grads_sum = None
+                for a in range(accum):
+                    if _dbg:
+                        print(f"[dbg] fetch batch round {a}", flush=True)
+                    batch = mesh_lib.shard_batch(next(train_iter), self.mesh)
+                    if _dbg:
+                        print(f"[dbg] got batch round {a}", flush=True)
+                    cb.on_training_accum_step_begin(model, state=state,
+                                                    iteration=iteration)
+                    akey = jax.random.fold_in(step_key, a)
+                    grads, loss_map, outputs = grad_steps[phase](state, batch, akey)
+                    if _dbg:
+                        print(f"[dbg] grad step done round {a}", flush=True)
+                    grads_sum = grads if grads_sum is None else jax.tree_util.tree_map(
+                        jnp.add, grads_sum, grads)
+                grads_sum = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
+                cb.on_optimizer_step_begin(model, state=state, iteration=iteration)
+                state = apply_steps[phase](state, grads_sum)
+                if _dbg:
+                    print(f"[dbg] apply done", flush=True)
+
+            # host-side scalars for logging (async fetch; blocks rarely)
+            loss_map_host = {k: v for k, v in loss_map.items()}
+            cb.on_training_step_end(model, state=state, data_batch=None,
+                                    loss_map=loss_map_host, outputs=outputs,
+                                    iteration=iteration)
+
+            if cfg.validation_iter and iteration % cfg.validation_iter == 0:
+                self.validate(model, state, iteration)
+
+            if cfg.save_ckpt_iter and iteration % cfg.save_ckpt_iter == 0:
+                self.save_checkpoint(model, state, iteration)
+
+            if self.autoresume.termination_requested():
+                logger.info("Termination requested; saving and exiting")
+                self.save_checkpoint(model, state, iteration)
+                self.checkpointer.wait()
+                self.autoresume.request_resume()
+                break
+
+        if os.environ.get("FASTGEN_TRAINER_DEBUG"):
+            print("[dbg] loop done", flush=True)
+        cb.on_train_end(model, state=state, iteration=iteration)
+        self.checkpointer.wait()
+        cb.on_app_end(model, iteration=iteration)
+        if os.environ.get("FASTGEN_TRAINER_DEBUG"):
+            print("[dbg] run() returning", flush=True)
+
+    # ------------------------------------------------------------ validation
+    def validate(self, model, state, iteration: int) -> None:
+        """Generate student samples (+ optionally teacher) for visual/metric
+        hooks (ref ``trainer.py:341-372``)."""
+        cb = self.callbacks
+        cb.on_validation_begin(model, state=state, iteration=iteration)
+        try:
+            sample_key = jax.random.PRNGKey(self.config.trainer.val_seed
+                                            or self.config.trainer.seed)
+            n = min(16, 8 * max(1, len(jax.devices())))
+            noise = jax.random.normal(sample_key, (n,) + model.input_shape,
+                                      model.precision)
+            label_dim = getattr(model.net, "label_dim", 0)
+            cond = None
+            if label_dim:
+                cond = jax.nn.one_hot(jnp.arange(n) % label_dim, label_dim,
+                                      dtype=model.precision)
+            params_net = self._ema_or_net_params(model, state)
+            gen = model.generator_fn(
+                params_net, noise, rng=sample_key, condition=cond,
+                student_sample_steps=self.config.model.student_sample_steps,
+                t_list=self.config.model.sample_t_cfg.t_list,
+                student_sample_type=self.config.model.student_sample_type)
+            outputs = {"gen_rand": np.asarray(gen), "input_rand": np.asarray(noise)}
+            cb.on_validation_step_end(model, state=state, outputs=outputs,
+                                      iteration=iteration)
+        except Exception as e:
+            logger.warning(f"validation sampling failed: {e}")
+        cb.on_validation_end(model, state=state, iteration=iteration)
+
+    def _ema_or_net_params(self, model, state):
+        if state.ema:
+            first = sorted(state.ema.keys())[0]
+            return state.ema[first]
+        return state.params["net"]
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, model, state, iteration: int) -> None:
+        cb = self.callbacks
+        cb.on_save_checkpoint_start(model, iteration=iteration)
+        self.checkpointer.save(iteration, state,
+                               metadata={"callbacks": cb.state_dict()})
+        cb.on_save_checkpoint_success(model, iteration=iteration,
+                                      path=self.checkpointer.save_dir)
+        cb.on_save_checkpoint_end(model, iteration=iteration)

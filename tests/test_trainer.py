@@ -1,0 +1,51 @@
+"""End-to-end trainer tests on synthetic data (the reference skips its
+``test_trainer.py`` and relies on the quick-start config; we run the real loop
+at toy size instead — it is cheap in a single process)."""
+
+import copy
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from fastgen_tpu.configs.experiments.EDM.config_dmd2_test import (
+    create_config as create_dmd2_test_config)
+from fastgen_tpu.trainer import Trainer
+from fastgen_tpu.utils import instantiate
+
+
+@pytest.fixture()
+def config(tmp_path, monkeypatch):
+    monkeypatch.setenv("FASTGEN_OUTPUT_ROOT", str(tmp_path))
+    cfg = create_dmd2_test_config()
+    cfg.trainer.max_iter = 4
+    cfg.trainer.validation_iter = 2
+    cfg.trainer.save_ckpt_iter = 4
+    cfg.trainer.logging_iter = 2
+    cfg.dataloader_train.batch_size = 8  # divisible by the 8-device test mesh
+    # shrink further for speed
+    cfg.model.net.model_channels = 8
+    cfg.model.net.num_blocks = 1
+    cfg.trainer.callbacks = {}
+    return cfg
+
+
+def test_train_checkpoint_resume(config):
+    model = instantiate(config.model_class, config=config.model)
+    trainer = Trainer(config)
+    trainer.run(model)
+    trainer.checkpointer.wait()
+    assert trainer.checkpointer.latest_step() == 4
+
+    # resume continues from the checkpoint
+    config.trainer.max_iter = 6
+    model2 = instantiate(config.model_class, config=config.model)
+    trainer2 = Trainer(config)
+    trainer2.run(model2)
+    trainer2.checkpointer.wait()
+    assert trainer2.checkpointer.latest_step() in (4, 6)
+
+    # metrics file exists iff wandb callback present (disabled here)
+    save_path = config.log_config.save_path
+    assert os.path.isdir(os.path.join(save_path, "checkpoints"))
