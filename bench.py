@@ -1,0 +1,107 @@
+"""Benchmark: 4-step EDM-CIFAR10 student sampling throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
+measured against a fixed reference point recorded on first run
+(``bench_baseline.json``); 1.0 until a baseline exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("FASTGEN_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    from fastgen_tpu.configs.net import EDM_CIFAR10_Config
+    from fastgen_tpu.configs.methods.config_dmd2 import create_config
+    from fastgen_tpu.utils import instantiate
+
+    batch = int(os.environ.get("FASTGEN_BENCH_BATCH", "256"))
+    steps = int(os.environ.get("FASTGEN_BENCH_STEPS", "4"))
+    dtype = jnp.bfloat16
+
+    config = create_config()
+    config.model.input_shape = [32, 32, 3]
+    net = instantiate(EDM_CIFAR10_Config)
+
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((batch, 32, 32, 3), dtype)
+    t0 = jnp.full((batch,), 80.0, jnp.float32)
+    cond = jax.nn.one_hot(jnp.arange(batch) % 10, 10, dtype=dtype)
+    params = net.init({"params": key}, x0[:1], t0[:1], condition=cond[:1])
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params)
+
+    ns = net.noise_scheduler
+    t_list = ns.get_t_list(steps)
+
+    def sample4(params, noise, key):
+        """4-step SDE student sampler (generator_fn contract, model.py:315-372)."""
+        x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
+        x_pred = x
+        for i, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
+            tb = jnp.full((noise.shape[0],), t_cur, jnp.float32)
+            x_pred = net.apply(params, x, tb, condition=cond, fwd_pred_type="x0")
+            if float(t_next) > 0:
+                key, sub = jax.random.split(key)
+                eps = jax.random.normal(sub, x_pred.shape, x_pred.dtype)
+                x = ns.forward_process(
+                    x_pred, eps, jnp.full((noise.shape[0],), t_next, jnp.float32))
+        return x_pred
+
+    fn = jax.jit(sample4)
+    noise = jax.random.normal(key, (batch, 32, 32, 3), dtype)
+
+    # warmup / compile
+    out = fn(params, noise, key)
+    jax.block_until_ready(out)
+
+    reps = int(os.environ.get("FASTGEN_BENCH_REPS", "10"))
+    t_start = time.perf_counter()
+    for i in range(reps):
+        out = fn(params, noise, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t_start
+    samples_per_sec = batch * reps / elapsed
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                base = json.load(f)["value"]
+            vs_baseline = samples_per_sec / base
+        except Exception:
+            pass
+    else:
+        try:
+            with open(baseline_path, "w") as f:
+                json.dump({"value": samples_per_sec,
+                           "note": "first recorded run on this hardware"}, f)
+        except OSError:
+            pass
+
+    print(json.dumps({
+        "metric": f"{steps}-step EDM-CIFAR10 samples/sec/chip (bf16, batch {batch})",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
