@@ -1,0 +1,30 @@
+"""MeanFlow CIFAR-10 recipe (ref ``configs/experiments/EDM/config_mf_cifar10.py``;
+reference result: 1-step FID 2.82). Uses the RF schedule + r-timestep UNet."""
+
+from __future__ import annotations
+
+import copy
+
+from fastgen_tpu.configs.methods.config_mean_flow import create_config as create_mf_config
+from fastgen_tpu.configs.net import EDM_CIFAR10_Config
+
+
+def create_config():
+    config = create_mf_config()
+    config.log_config.group = "cifar10"
+    config.log_config.name = "mf_cifar10"
+    net = copy.deepcopy(EDM_CIFAR10_Config)
+    net.r_timestep = True
+    net.schedule_type = "rf"
+    net.net_pred_type = "x0"
+    config.model.net = net
+    config.model.input_shape = [32, 32, 3]
+    config.model.use_ema = [0.9999]
+    config.model.sample_t_cfg.time_dist_type = "logitnormal"
+    config.model.sample_t_cfg.min_t = 0.001
+    config.model.sample_t_cfg.max_t = 0.999
+    config.model.sample_t_cfg.r_sample_ratio = 0.75
+    config.model.cond_dropout_prob = 0.1
+    config.trainer.batch_size_global = 128
+    config.trainer.max_iter = 400_000
+    return config

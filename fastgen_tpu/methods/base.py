@@ -169,7 +169,11 @@ class FastGenModel:
         batch = self.example_batch(batch_size=1)
         x = batch["real"]
         t = jnp.ones((x.shape[0],), jnp.float32)
-        variables = net.init({"params": rng, "dropout": rng}, x, t,
+        # nets with an r-timestep head (sCM/MeanFlow) must be traced with r so
+        # all params materialize
+        r = t if (getattr(net, "model_kwargs", {}).get("r_timestep")
+                  or getattr(net, "r_timestep", False)) else None
+        variables = net.init({"params": rng, "dropout": rng}, x, t, r=r,
                              condition=batch.get("condition"))
         return variables
 
@@ -298,6 +302,15 @@ class FastGenModel:
                                  "params": optax.apply_updates(
                                      state.params[k]["params"], updates)}
 
+            # non-trainable variable updates (e.g. f-distill ratio bins) ride
+            # in outputs["_variable_updates"] = {net_key: {collection: tree}}
+            outputs = dict(outputs)
+            var_updates = outputs.pop("_variable_updates", None)
+            if var_updates:
+                for k, colls in var_updates.items():
+                    new_params[k] = {**new_params.get(k, state.params[k]),
+                                     **jax.lax.stop_gradient(colls)}
+
             ema = state.ema
             if ema_specs and "net" in trainable:
                 ema = {}
@@ -340,7 +353,7 @@ class FastGenModel:
         trainable = self.trainable_keys(phase)
         ema_specs = self.ema_specs()
 
-        def astep(state: MethodState, grads):
+        def astep(state: MethodState, grads, variable_updates=None):
             new_params = dict(state.params)
             new_opt = dict(state.opt_states)
             for k in trainable:
@@ -349,6 +362,10 @@ class FastGenModel:
                 new_params[k] = {**state.params[k],
                                  "params": optax.apply_updates(
                                      state.params[k]["params"], updates)}
+            if variable_updates:
+                for k, colls in variable_updates.items():
+                    new_params[k] = {**new_params.get(k, state.params[k]),
+                                     **jax.lax.stop_gradient(colls)}
             ema = state.ema
             if ema_specs and "net" in trainable:
                 ema = {}

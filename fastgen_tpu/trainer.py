@@ -153,7 +153,9 @@ class Trainer:
                         jnp.add, grads_sum, grads)
                 grads_sum = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
                 cb.on_optimizer_step_begin(model, state=state, iteration=iteration)
-                state = apply_steps[phase](state, grads_sum)
+                var_updates = (outputs or {}).pop("_variable_updates", None) \
+                    if isinstance(outputs, dict) else None
+                state = apply_steps[phase](state, grads_sum, var_updates)
                 if _dbg:
                     print(f"[dbg] apply done", flush=True)
 
