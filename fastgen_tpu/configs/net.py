@@ -81,3 +81,26 @@ EDM_Test_Config = L(build_edm)(
     attn_resolutions=[8],
     dropout=0.0,
 )
+
+
+def build_dit(**kwargs):
+    from fastgen_tpu.networks.dit.network import DiT
+
+    return DiT(**kwargs)
+
+
+# DiT-XL/2 on 256x256 ImageNet latents (ref ``configs/net.py`` DiT zoo)
+DiT_XL2_Config = L(build_dit)(
+    input_size=32, patch_size=2, in_channels=4, hidden_size=1152, depth=28,
+    num_heads=16, num_classes=1000, class_dropout_prob=0.1,
+    enable_class_dropout=True, net_pred_type="flow", schedule_type="rf")
+
+DiT_B2_Config = L(build_dit)(
+    input_size=32, patch_size=2, in_channels=4, hidden_size=768, depth=12,
+    num_heads=12, num_classes=1000, class_dropout_prob=0.1,
+    enable_class_dropout=True, net_pred_type="flow", schedule_type="rf")
+
+DiT_Test_Config = L(build_dit)(
+    input_size=8, patch_size=2, in_channels=4, hidden_size=64, depth=2,
+    num_heads=4, num_classes=10, class_dropout_prob=0.1,
+    net_pred_type="flow", schedule_type="rf")

@@ -1,0 +1,182 @@
+"""Pallas TPU flash attention (forward) with optional block-causal masking.
+
+The hot op of every DiT/video backbone (SURVEY §7: FlexAttention block-causal
+masks + SDPA -> one Pallas kernel). Canonical TPU pattern: grid
+(batch*heads, q_blocks, k_blocks) with the k axis innermost; VMEM scratch
+carries the running max / denominator / accumulator across k blocks
+(online softmax), so HBM traffic is O(N*D) per query block instead of O(N^2).
+
+Backward runs through a custom VJP that recomputes attention with the XLA
+fallback — correct everywhere, and training-path kernel time is dominated by
+the matmuls XLA already fuses well; a Pallas backward kernel is a later
+optimization.
+
+Block-causal masking (`causal_block=c`): query token i may attend to key j iff
+j // c <= i // c (diffusion forcing, ref ``network_causal.py:131-196``).
+Fully-masked k-blocks are skipped analytically via the block index comparison.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+                      *, scale: float, block_q: int, block_k: int,
+                      causal_block: Optional[int], seq_len: int):
+    ki = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    qi = pl.program_id(1)
+
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)            # [block_q, d]
+        k = k_ref[0].astype(jnp.float32)            # [block_k, d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        if causal_block is not None:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            allowed = (k_pos // causal_block) <= (q_pos // causal_block)
+            s = jnp.where(allowed, s, NEG_INF)
+
+        m_prev = m_scratch[:]                        # [block_q, 1]
+        l_prev = l_scratch[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                       # [block_q, block_k]
+        alpha = jnp.exp(m_prev - m_new)              # [block_q, 1]
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+            p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scratch[:] = m_new
+        l_scratch[:] = l_new
+
+    if causal_block is not None:
+        # skip k blocks that lie entirely in masked-out (future) blocks:
+        # the first key of this k block must be allowed for the LAST query row
+        last_q = qi * block_q + block_q - 1
+        first_k = ki * block_k
+        needed = (first_k // causal_block) <= (last_q // causal_block)
+        pl.when(needed)(_compute)
+    else:
+        _compute()
+
+    @pl.when(ki == num_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[:] / jnp.maximum(l_scratch[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
+                   interpret: bool = False):
+    """q,k,v: [BH, N, D] -> out [BH, N, D]."""
+    bh, n, d = q.shape
+
+    def fit(block):
+        block = min(block, n)
+        while n % block:
+            block //= 2
+        return max(block, 8)
+
+    block_q = fit(block_q)
+    block_k = fit(block_k)
+    assert n % block_q == 0 and n % block_k == 0, (
+        f"seq len {n} must be divisible by block sizes ({block_q},{block_k})")
+    grid = (bh, n // block_q, n // block_k)
+
+    kernel = functools.partial(
+        _flash_fwd_kernel, scale=scale, block_q=block_q, block_k=block_k,
+        causal_block=causal_block, seq_len=n)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _xla_reference(q, k, v, scale, causal_block):
+    """Math-equivalent XLA attention on [BH, N, D] (backward + parity tests)."""
+    logits = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    if causal_block is not None:
+        n = q.shape[1]
+        idx = jnp.arange(n) // causal_block
+        allowed = idx[None, :] <= idx[:, None]
+        logits = jnp.where(allowed[None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", probs, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_core(q, k, v, scale, causal_block, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
+                          interpret=interpret)
+
+
+def _flash_core_fwd(q, k, v, scale, causal_block, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
+                         interpret=interpret)
+    return out, (q, k, v)
+
+
+def _flash_core_bwd(scale, causal_block, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale, causal_block),
+                     q, k, v)
+    return vjp(g)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(q, k, v, mask=None, scale: Optional[float] = None,
+                    causal_block: Optional[int] = None,
+                    block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False):
+    """Flash attention over [B, N, H, D]; returns [B, N, H, D].
+
+    Dense ``mask`` is unsupported in the kernel (falls back to XLA in the
+    dispatcher); block-causal masks use ``causal_block``.
+    """
+    assert mask is None, "flash kernel supports causal_block masks only"
+    b, n, h, d = q.shape
+    scale = scale if scale is not None else 1.0 / np.sqrt(d)
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+    out = _flash_core(to_bh(q), to_bh(k), to_bh(v), float(scale), causal_block,
+                      block_q, block_k, interpret)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

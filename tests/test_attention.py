@@ -1,0 +1,87 @@
+"""Attention dispatcher + Pallas flash kernel parity tests (interpret mode on
+CPU; the kernel's real-TPU parity/perf was measured separately)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastgen_tpu.ops.attention import _xla_attention, dot_product_attention
+from fastgen_tpu.ops.kernels.flash_attention import _xla_reference, flash_attention
+
+KEY = jax.random.PRNGKey(0)
+
+
+def qkv(b=2, n=256, h=4, d=32):
+    return [jax.random.normal(jax.random.fold_in(KEY, i), (b, n, h, d))
+            for i in range(3)]
+
+
+def _ref(q, k, v, causal_block=None):
+    b, n, h, d = q.shape
+    to = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    out = _xla_reference(to(q), to(k), to(v), 1 / np.sqrt(d), causal_block)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+def test_flash_matches_xla_dense():
+    q, k, v = qkv()
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal_block", [32, 64, 256])
+def test_flash_matches_xla_block_causal(causal_block):
+    q, k, v = qkv()
+    out = flash_attention(q, k, v, causal_block=causal_block, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref(q, k, v, causal_block)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_grad_matches_xla():
+    q, k, v = qkv(n=128)
+
+    def loss_flash(q):
+        return (flash_attention(q, k, v, interpret=True) ** 2).sum()
+
+    def loss_xla(q):
+        return (_ref(q, k, v) ** 2).sum()
+
+    g1 = jax.grad(loss_flash)(q)
+    g2 = jax.grad(loss_xla)(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
+
+
+def test_block_causal_masks_future():
+    """Output of block b must not depend on keys in blocks > b."""
+    q, k, v = qkv(n=128)
+    out1 = flash_attention(q, k, v, causal_block=32, interpret=True)
+    k2 = k.at[:, 96:].set(999.0)
+    v2 = v.at[:, 96:].set(999.0)
+    out2 = flash_attention(q, k2, v2, causal_block=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1[:, :96]), np.asarray(out2[:, :96]),
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(np.asarray(out1[:, 96:]), np.asarray(out2[:, 96:]))
+
+
+def test_dispatcher_xla_path_block_causal():
+    q, k, v = qkv(n=64)
+    out = dot_product_attention(q, k, v, impl="xla", causal_block=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v, 16)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dispatcher_mask_and_bias():
+    q, k, v = qkv(n=64)
+    n = 64
+    mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
+    out = dot_product_attention(q, k, v, impl="xla", mask=mask)
+    # row 0 can only see key 0 -> equals v[:,0]
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(v[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+    bias = jnp.zeros((1, 1, n, n))
+    out_b = dot_product_attention(q, k, v, impl="xla", bias=bias)
+    out_nb = dot_product_attention(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_nb), rtol=1e-6)
