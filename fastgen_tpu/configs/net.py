@@ -104,3 +104,47 @@ DiT_Test_Config = L(build_dit)(
     input_size=8, patch_size=2, in_channels=4, hidden_size=64, depth=2,
     num_heads=4, num_classes=10, class_dropout_prob=0.1,
     net_pred_type="flow", schedule_type="rf")
+
+
+def build_wan(**kwargs):
+    from fastgen_tpu.networks.wan.network import WanVideoDiT
+
+    return WanVideoDiT(**kwargs)
+
+
+def build_causal_wan(**kwargs):
+    from fastgen_tpu.networks.wan.network import CausalWanVideoDiT
+
+    return CausalWanVideoDiT(**kwargs)
+
+
+# Wan2.1-1.3B T2V (ref ``configs/net.py`` Wan zoo; inner_dim map
+# ``Wan/network.py:641-694``): dim 1536, 30 layers, 12 heads, ffn 8960
+Wan_1_3B_Config = L(build_wan)(
+    dim=1536, num_layers=30, num_heads=12, ffn_dim=8960, in_channels=16,
+    out_channels=16, text_dim=4096, rope_max_seq_len=1024,
+    net_pred_type="flow", schedule_type="rf")
+
+# Wan2.1-14B T2V: dim 5120, 40 layers, 40 heads, ffn 13824
+Wan_14B_Config = L(build_wan)(
+    dim=5120, num_layers=40, num_heads=40, ffn_dim=13824, in_channels=16,
+    out_channels=16, text_dim=4096, rope_max_seq_len=1024,
+    net_pred_type="flow", schedule_type="rf")
+
+CausalWan_1_3B_Config = L(build_causal_wan)(
+    dim=1536, num_layers=30, num_heads=12, ffn_dim=8960, in_channels=16,
+    out_channels=16, text_dim=4096, rope_max_seq_len=1024,
+    chunk_size=3, total_num_frames=21, frame_height=60, frame_width=104,
+    net_pred_type="flow", schedule_type="rf")
+
+# Tiny video configs for smoke tests
+Wan_Test_Config = L(build_wan)(
+    dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+    out_channels=4, text_dim=32, rope_max_seq_len=64,
+    net_pred_type="flow", schedule_type="rf")
+
+CausalWan_Test_Config = L(build_causal_wan)(
+    dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+    out_channels=4, text_dim=32, rope_max_seq_len=64,
+    chunk_size=2, total_num_frames=4, frame_height=8, frame_width=8,
+    net_pred_type="flow", schedule_type="rf")

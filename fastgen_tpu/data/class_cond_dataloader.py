@@ -90,3 +90,33 @@ class SyntheticLoader(ImageLoader):
         dataset = SyntheticImageDataset(size=size, resolution=resolution,
                                         channels=channels, label_dim=label_dim)
         super().__init__(dataset=dataset, batch_size=batch_size, **kwargs)
+
+
+class SyntheticVideoLoader:
+    """Synthetic video-latent batches for smoke runs: ``{"real": [B,T,H,W,C],
+    "condition"/"neg_condition": {"text_embeds": [B,L,D]}}`` (the contract of
+    the WDS video-latent loaders)."""
+
+    def __init__(self, batch_size: int = 2, frames: int = 4, resolution: int = 8,
+                 channels: int = 4, text_len: int = 6, text_dim: int = 32,
+                 seed: int = 0, sampler_start_idx: int = 0, **kwargs):
+        self.batch_size = batch_size
+        self.frames = frames
+        self.resolution = resolution
+        self.channels = channels
+        self.text_len = text_len
+        self.text_dim = text_dim
+        self.seed = seed + sampler_start_idx
+
+    def __iter__(self):
+        i = self.seed
+        while True:
+            rs = np.random.RandomState(i % (1 << 31))
+            real = rs.randn(self.batch_size, self.frames, self.resolution,
+                            self.resolution, self.channels).astype(np.float32)
+            text = rs.randn(self.batch_size, self.text_len,
+                            self.text_dim).astype(np.float32)
+            yield {"real": real,
+                   "condition": {"text_embeds": text},
+                   "neg_condition": {"text_embeds": np.zeros_like(text)}}
+            i += 1

@@ -1,0 +1,602 @@
+"""Wan-style video diffusion transformer, native JAX (NTHWC latents).
+
+TPU-native rebuild of ``fastgen/networks/Wan/network.py`` +
+``network_causal.py``. The reference wraps diffusers' WanTransformer3DModel and
+monkey-patches its forward; here the backbone is built from scratch:
+
+* 3D patchify (p_t, p_h, p_w) -> tokens; 3D RoPE with head_dim split across
+  (t, h, w) (ref ``network_causal.py:79-128``), temporal offset for
+  autoregressive decoding;
+* blocks: RMS-qk-norm self-attention + text cross-attention + FFN with
+  per-block ``scale_shift_table`` AdaLN 6-way modulation, per-frame timestep
+  conditioning (ref ``block_forward``, ``Wan/network.py:106-153``);
+* diffusion-forcing training uses the Pallas flash kernel's analytic
+  block-causal mask instead of FlexAttention BlockMask
+  (ref ``network_causal.py:131-196``);
+* autoregressive generation uses explicit fixed-shape KV-cache pytrees
+  ``[B, max_tokens, H, Dh]`` + ``lax.dynamic_update_slice`` and a validity
+  mask — the reference already pre-allocates caches this way
+  (``network_causal.py:703-816``), so the functional mapping is direct;
+* text conditioning consumes precomputed embeddings (the latent-loader path);
+  a UMT5 encoder port is gated behind the preprocessors API.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from fastgen_tpu.networks.network import CausalFastGenNetwork, FastGenNetwork
+from fastgen_tpu.ops.attention import dot_product_attention
+from fastgen_tpu.ops.schedules import NET_PRED_TYPES
+from fastgen_tpu.utils import expand_like
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+    elementwise_affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)
+        if self.elementwise_affine:
+            scale = self.param("scale", nn.initializers.ones, (self.dim,))
+            y = y * scale
+        return y.astype(x.dtype)
+
+
+def sinusoidal_embedding_1d(dim: int, position):
+    """Wan's sinusoidal t embedding (ref ``Wan/network.py:96-104``)."""
+    half = dim // 2
+    freqs = jnp.power(10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    sinusoid = jnp.outer(position.astype(jnp.float32), freqs)
+    return jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=-1)
+
+
+def _rope_freqs(head_dim: int, max_seq_len: int, theta: float = 10000.0):
+    """Per-axis RoPE tables; head_dim split (t: d-2*(d//3), h: d//3, w: d//3)."""
+    d_t = head_dim - 2 * (head_dim // 3)
+    d_h = d_w = head_dim // 3
+    assert d_t % 2 == 0 and d_h % 2 == 0, (
+        f"head_dim {head_dim} must split into even RoPE parts (e.g. 128->44/42/42); "
+        f"got t={d_t}, h/w={d_h}")
+    tables = {}
+    for name, d in (("t", d_t), ("h", d_h), ("w", d_w)):
+        freqs = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+        angles = np.outer(np.arange(max_seq_len), freqs)  # [S, d/2]
+        tables[name] = (np.cos(angles), np.sin(angles))
+    return tables, (d_t, d_h, d_w)
+
+
+def _build_rope(tables, splits, f, h, w, start_frame: int = 0):
+    """[N, head_dim/2] cos/sin for an (f, h, w) token grid with temporal offset."""
+    cos_list, sin_list = [], []
+    (d_t, d_h, d_w) = splits
+    for name, size, d, axis in (("t", f, d_t, 0), ("h", h, d_h, 1), ("w", w, d_w, 2)):
+        cos_tab, sin_tab = tables[name]
+        if name == "t":
+            idx = np.clip(np.arange(start_frame, start_frame + size), 0,
+                          cos_tab.shape[0] - 1)
+        else:
+            idx = np.arange(size)
+        cos = cos_tab[idx]  # [size, d/2]
+        sin = sin_tab[idx]
+        shape = [1, 1, 1, cos.shape[-1]]
+        shape[axis] = size
+        reps = [f, h, w, 1]
+        reps[axis] = 1
+        cos_list.append(np.tile(cos.reshape(shape), reps))
+        sin_list.append(np.tile(sin.reshape(shape), reps))
+    cos = np.concatenate(cos_list, axis=-1).reshape(f * h * w, -1)
+    sin = np.concatenate(sin_list, axis=-1).reshape(f * h * w, -1)
+    return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
+
+
+def apply_rope(x, cos, sin):
+    """x: [B, N, H, D]; cos/sin: [N, D/2]. Interleaved complex rotation."""
+    b, n, h, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, n, h, d // 2, 2)
+    x_re, x_im = xf[..., 0], xf[..., 1]
+    cos = cos[None, :, None, :]
+    sin = sin[None, :, None, :]
+    out_re = x_re * cos - x_im * sin
+    out_im = x_re * sin + x_im * cos
+    out = jnp.stack([out_re, out_im], axis=-1).reshape(b, n, h, d)
+    return out.astype(x.dtype)
+
+
+class WanSelfAttention(nn.Module):
+    dim: int
+    num_heads: int
+    qk_norm: bool = True
+    attn_impl: Optional[str] = None
+
+    def setup(self):
+        self.to_q = nn.Dense(self.dim, name="to_q")
+        self.to_k = nn.Dense(self.dim, name="to_k")
+        self.to_v = nn.Dense(self.dim, name="to_v")
+        self.to_out = nn.Dense(self.dim, name="to_out")
+        if self.qk_norm:
+            self.norm_q = RMSNorm(self.dim, name="norm_q")
+            self.norm_k = RMSNorm(self.dim, name="norm_k")
+
+    def qkv(self, x):
+        q, k, v = self.to_q(x), self.to_k(x), self.to_v(x)
+        if self.qk_norm:
+            q, k = self.norm_q(q), self.norm_k(k)
+        b, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        shape = (b, n, self.num_heads, head_dim)
+        return q.reshape(shape), k.reshape(shape), v.reshape(shape)
+
+    def __call__(self, x, rope=None, causal_block=None):
+        q, k, v = self.qkv(x)
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+        out = dot_product_attention(q, k, v, impl=self.attn_impl,
+                                    causal_block=causal_block)
+        b, n, h, d = out.shape
+        return self.to_out(out.reshape(b, n, h * d))
+
+    def cached(self, x, rope, cache, start_token, store_kv: bool = True):
+        """Autoregressive step: attend over the cached prefix plus this chunk's
+        own K/V; write them into the fixed-shape cache iff ``store_kv``
+        (the reference denoises with store_kv=False and writes the finalized
+        block in a separate pass, ``self_forcing.py:212-235``)."""
+        q, k, v = self.qkv(x)
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        new_k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                             (0, start_token, 0, 0))
+        new_v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                             (0, start_token, 0, 0))
+        n_chunk = x.shape[1]
+        max_tokens = cache["k"].shape[1]
+        valid = jnp.arange(max_tokens) < (start_token + n_chunk)
+        mask = valid[None, None, None, :]  # [1,1,1,K] broadcasts over B,H,Q
+        out = dot_product_attention(q, new_k.astype(q.dtype), new_v.astype(q.dtype),
+                                    mask=mask, impl="xla")
+        b, n, h, d = out.shape
+        out = self.to_out(out.reshape(b, n, h * d))
+        if store_kv:
+            return out, {"k": new_k, "v": new_v}
+        return out, cache
+
+
+class WanCrossAttention(nn.Module):
+    dim: int
+    num_heads: int
+    qk_norm: bool = True
+    attn_impl: Optional[str] = None
+
+    def setup(self):
+        self.to_q = nn.Dense(self.dim, name="to_q")
+        self.to_k = nn.Dense(self.dim, name="to_k")
+        self.to_v = nn.Dense(self.dim, name="to_v")
+        self.to_out = nn.Dense(self.dim, name="to_out")
+        if self.qk_norm:
+            self.norm_q = RMSNorm(self.dim, name="norm_q")
+            self.norm_k = RMSNorm(self.dim, name="norm_k")
+
+    def kv(self, context):
+        k, v = self.to_k(context), self.to_v(context)
+        if self.qk_norm:
+            k = self.norm_k(k)
+        b, l, _ = context.shape
+        head_dim = self.dim // self.num_heads
+        return (k.reshape(b, l, self.num_heads, head_dim),
+                v.reshape(b, l, self.num_heads, head_dim))
+
+    def __call__(self, x, context=None, cached_kv=None):
+        q = self.to_q(x)
+        if self.qk_norm:
+            q = self.norm_q(q)
+        b, n, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        q = q.reshape(b, n, self.num_heads, head_dim)
+        k, v = cached_kv if cached_kv is not None else self.kv(context)
+        out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype),
+                                    impl="xla")
+        return self.to_out(out.reshape(b, n, self.dim))
+
+
+class WanFFN(nn.Module):
+    dim: int
+    ffn_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.ffn_dim, name="fc1")(x)
+        h = nn.gelu(h, approximate=True)
+        return nn.Dense(self.dim, name="fc2")(h)
+
+
+class WanBlock(nn.Module):
+    """One transformer block (ref ``block_forward``, ``Wan/network.py:106-153``)."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    qk_norm: bool = True
+    cross_attn_norm: bool = True
+    attn_impl: Optional[str] = None
+
+    def setup(self):
+        self.norm1 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                                  name="norm1")
+        self.attn1 = WanSelfAttention(self.dim, self.num_heads, self.qk_norm,
+                                      self.attn_impl, name="attn1")
+        self.norm2 = (nn.LayerNorm(epsilon=1e-6, name="norm2")
+                      if self.cross_attn_norm else
+                      nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                                   name="norm2"))
+        self.attn2 = WanCrossAttention(self.dim, self.num_heads, self.qk_norm,
+                                       self.attn_impl, name="attn2")
+        self.norm3 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                                  name="norm3")
+        self.ffn = WanFFN(self.dim, self.ffn_dim, name="ffn")
+        self.scale_shift_table = self.param(
+            "scale_shift_table",
+            lambda key, shape: jax.random.normal(key, shape) / shape[-1] ** 0.5,
+            (1, 6, self.dim))
+
+    def _mod_params(self, temb, frame_seqlen, n_tokens):
+        """temb: [B, F, 6, D] per-frame -> 6 params of [B, N, D] (expanded)."""
+        b, f, six, d = temb.shape
+        table = self.scale_shift_table[:, None]  # [1, 1, 6, D]
+        params = (table + temb.astype(jnp.float32))  # [B, F, 6, D]
+        params = jnp.repeat(params, frame_seqlen, axis=1)  # [B, N, 6, D]
+        return [params[:, :, i, :] for i in range(6)]
+
+    def __call__(self, x, temb, context, rope, frame_seqlen, causal_block=None,
+                 self_cache=None, start_token=None, cross_kv=None,
+                 store_kv: bool = True):
+        (shift_msa, scale_msa, gate_msa,
+         c_shift, c_scale, c_gate) = self._mod_params(temb, frame_seqlen, x.shape[1])
+
+        xf = x.astype(jnp.float32)
+        norm_x = (self.norm1(xf) * (1 + scale_msa) + shift_msa).astype(x.dtype)
+        if self_cache is not None:
+            attn_out, new_cache = self.attn1.cached(norm_x, rope, self_cache,
+                                                    start_token, store_kv=store_kv)
+        else:
+            attn_out = self.attn1(norm_x, rope=rope, causal_block=causal_block)
+            new_cache = None
+        x = (xf + attn_out.astype(jnp.float32) * gate_msa).astype(x.dtype)
+
+        norm_x = self.norm2(x.astype(jnp.float32)).astype(x.dtype)
+        x = x + self.attn2(norm_x, context=context, cached_kv=cross_kv)
+
+        xf = x.astype(jnp.float32)
+        norm_x = (self.norm3(xf) * (1 + c_scale) + c_shift).astype(x.dtype)
+        ff = self.ffn(norm_x)
+        x = (xf + ff.astype(jnp.float32) * c_gate).astype(x.dtype)
+        return x, new_cache
+
+
+class TimestepEmbedder(nn.Module):
+    """sinusoidal(freq_dim) -> MLP -> temb [.., D]; time_proj -> [.., 6, D]."""
+
+    dim: int
+    freq_dim: int = 256
+
+    def setup(self):
+        self.time_embedder_0 = nn.Dense(self.dim, name="time_embedder_0")
+        self.time_embedder_2 = nn.Dense(self.dim, name="time_embedder_2")
+        self.time_proj = nn.Dense(self.dim * 6, name="time_proj")
+
+    def __call__(self, t_flat):
+        feats = sinusoidal_embedding_1d(self.freq_dim, t_flat)
+        temb = self.time_embedder_2(nn.silu(self.time_embedder_0(feats)))
+        proj = self.time_proj(nn.silu(temb)).reshape(temb.shape[:-1] + (6, self.dim))
+        return temb, proj
+
+
+class WanVideoDiT(FastGenNetwork):
+    """Parallel (bidirectional) Wan video DiT (ref ``Wan/network.py:542-918``).
+
+    Input latents [B, T, H, W, C]; condition is a dict with ``text_embeds``
+    [B, L, text_dim] (+ optional ``first_frame_cond``/``vid_context`` handled
+    by subclasses).
+    """
+
+    dim: int = 1536
+    num_layers: int = 30
+    num_heads: int = 12
+    ffn_dim: int = 8960
+    in_channels: int = 16
+    out_channels: int = 16
+    text_dim: int = 4096
+    freq_dim: int = 256
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    qk_norm: bool = True
+    cross_attn_norm: bool = True
+    rope_max_seq_len: int = 1024
+    enable_logvar_linear: bool = False
+    r_timestep: bool = False
+    time_cond_type: str = "abs"
+    attn_impl: Optional[str] = None
+    net_pred_type: str = "flow"
+    schedule_type: str = "rf"
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    def setup(self):
+        self.patch_embedding = nn.Conv(
+            self.dim, self.patch_size, strides=self.patch_size, padding="VALID",
+            name="patch_embedding")
+        self.condition_embedder = TimestepEmbedder(self.dim, self.freq_dim,
+                                                   name="condition_embedder")
+        self.r_embedder = (TimestepEmbedder(self.dim, self.freq_dim, name="r_embedder")
+                           if self.r_timestep else None)
+        self.text_embedder_0 = nn.Dense(self.dim, name="text_embedder_0")
+        self.text_embedder_2 = nn.Dense(self.dim, name="text_embedder_2")
+        self.blocks = [WanBlock(self.dim, self.num_heads, self.ffn_dim,
+                                self.qk_norm, self.cross_attn_norm, self.attn_impl,
+                                name=f"blocks_{i}")
+                       for i in range(self.num_layers)]
+        self.norm_out = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                                     name="norm_out")
+        self.proj_out = nn.Dense(int(np.prod(self.patch_size)) * self.out_channels,
+                                 name="proj_out")
+        self.out_scale_shift_table = self.param(
+            "out_scale_shift_table",
+            lambda key, shape: jax.random.normal(key, shape) / shape[-1] ** 0.5,
+            (1, 2, self.dim))
+        self.logvar_linear = (nn.Dense(1, name="logvar_linear")
+                              if self.enable_logvar_linear else None)
+        self._rope_tables, self._rope_splits = _rope_freqs(self.head_dim,
+                                                           self.rope_max_seq_len)
+
+    # ------------------------------------------------------------------ parts
+    def _embed_text(self, text_embeds):
+        return self.text_embedder_2(nn.gelu(self.text_embedder_0(text_embeds),
+                                            approximate=True))
+
+    def _per_frame_t(self, t, num_frames):
+        """t [B] or [B, T_latent] -> per-patched-frame [B, F] in model scale."""
+        t = self.noise_scheduler.rescale_t(t)
+        p_t = self.patch_size[0]
+        if t.ndim == 1:
+            t = t[:, None]
+        if t.shape[1] == 1:
+            t = jnp.repeat(t, num_frames, axis=1)
+        else:
+            t = t[:, ::p_t]
+        return t.astype(jnp.float32)
+
+    def _time_embeds(self, embedder, t_frames):
+        b, f = t_frames.shape
+        temb_flat, proj_flat = embedder(t_frames.reshape(-1))
+        return (temb_flat.reshape(b, f, self.dim),
+                proj_flat.reshape(b, f, 6, self.dim))
+
+    def _patchify(self, x):
+        b, t, h, w, c = x.shape
+        tokens = self.patch_embedding(x)  # [B, F, H', W', D]
+        f, hp, wp = tokens.shape[1:4]
+        return tokens.reshape(b, f * hp * wp, self.dim), (f, hp, wp)
+
+    def _unpatchify(self, tokens, grid, batch):
+        f, hp, wp = grid
+        p_t, p_h, p_w = self.patch_size
+        c = self.out_channels
+        x = tokens.reshape(batch, f, hp, wp, p_t, p_h, p_w, c)
+        x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # [B, F, pt, hp, ph, wp, pw, C]
+        return x.reshape(batch, f * p_t, hp * p_h, wp * p_w, c)
+
+    # ---------------------------------------------------------------- forward
+    def __call__(self, x_t, t, condition=None, r=None,
+                 return_features_early: bool = False,
+                 feature_indices: Tuple[int, ...] = (),
+                 return_logvar: bool = False,
+                 fwd_pred_type: Optional[str] = None,
+                 skip_layers: Optional[Tuple[int, ...]] = None,
+                 causal_chunk_frames: Optional[int] = None,
+                 train: bool = False, **kwargs):
+        if fwd_pred_type is not None:
+            assert fwd_pred_type in NET_PRED_TYPES
+        x_in, t_in = x_t, t
+
+        if isinstance(condition, dict):
+            text_embeds = condition["text_embeds"]
+        else:
+            text_embeds = condition
+        if text_embeds is None:
+            text_embeds = jnp.zeros((x_t.shape[0], 1, self.text_dim), x_t.dtype)
+
+        tokens, grid = self._patchify(x_t)
+        f, hp, wp = grid
+        frame_seqlen = hp * wp
+        cos, sin = _build_rope(self._rope_tables, self._rope_splits, f, hp, wp)
+
+        t_frames = self._per_frame_t(t, f)
+        temb, timestep_proj = self._time_embeds(self.condition_embedder, t_frames)
+
+        if self.r_embedder is not None and r is not None:
+            r_in = r if self.time_cond_type == "abs" else \
+                jnp.maximum(t - r, 0.0)
+            r_frames = self._per_frame_t(r_in, f)
+            remb, r_proj = self._time_embeds(self.r_embedder, r_frames)
+            timestep_proj = timestep_proj + r_proj
+            temb = temb + remb
+        elif r is not None:
+            raise ValueError("r provided but r_timestep is not enabled")
+
+        context = self._embed_text(text_embeds)
+
+        causal_block = (causal_chunk_frames * frame_seqlen
+                        if causal_chunk_frames else None)
+
+        features = []
+        x = tokens
+        for idx, block in enumerate(self.blocks):
+            if skip_layers is not None and idx in skip_layers:
+                continue
+            x, _ = block(x, timestep_proj, context, (cos, sin), frame_seqlen,
+                         causal_block=causal_block)
+            if idx in feature_indices:
+                features.append(x.reshape(x.shape[0], f, hp, wp, self.dim))
+            if return_features_early and len(features) == len(feature_indices):
+                return features
+        if return_features_early:
+            return features
+
+        # output modulation: per-frame (ref ``classify_forward`` norm_out path)
+        shift, scale = [p.squeeze(2) for p in jnp.split(
+            self.out_scale_shift_table[:, None].astype(jnp.float32)
+            + temb[:, :, None].astype(jnp.float32), 2, axis=2)]
+        xn = self.norm_out(x.astype(jnp.float32)).reshape(
+            x.shape[0], f, frame_seqlen, self.dim)
+        xn = xn * (1 + scale[:, :, None]) + shift[:, :, None]
+        x = xn.reshape(x.shape[0], f * frame_seqlen, self.dim).astype(x.dtype)
+        x = self.proj_out(x)
+        out = self._unpatchify(x, grid, x_t.shape[0])
+
+        t_conv = t_in if t_in.ndim == 1 else t_in[:, :, None, None, None]
+        out = self.noise_scheduler.convert_model_output(
+            x_in, out, t_conv, src_pred_type=self.net_pred_type,
+            target_pred_type=fwd_pred_type or self.net_pred_type)
+
+        result = out if not feature_indices else [out, features]
+        if return_logvar:
+            assert self.logvar_linear is not None, "enable_logvar_linear required"
+            logvar = self.logvar_linear(temb.mean(axis=1))
+            return result, logvar
+        return result
+
+    def sample(self, noise, condition=None, neg_condition=None,
+               guidance_scale: Optional[float] = 5.0, num_steps: int = 50, **kwargs):
+        """Euler flow sampler with CFG (teacher sampling; the reference uses
+        UniPC, ``Wan/network.py:919`` — Euler at 50 steps is the same family
+        of multi-step teacher sampling)."""
+        ns = self.noise_scheduler
+        t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
+        x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
+        use_cfg = guidance_scale is not None and guidance_scale > 1.0 and \
+            neg_condition is not None
+        b = x.shape[0]
+        for t_cur, t_next in zip(t_list[:-1], t_list[1:]):
+            tb = jnp.full((b,), t_cur, jnp.float32)
+            v = self(x, tb, condition=condition, fwd_pred_type="flow")
+            if use_cfg:
+                v_neg = self(x, tb, condition=neg_condition, fwd_pred_type="flow")
+                v = v_neg + guidance_scale * (v - v_neg)
+            x = x - jnp.asarray(t_cur - t_next, x.dtype) * v
+        return x
+
+
+class CausalWanVideoDiT(WanVideoDiT, CausalFastGenNetwork):
+    """Causal Wan: diffusion-forcing training + KV-cached AR generation
+    (ref ``network_causal.py:928-1295``)."""
+
+    chunk_size: int = 3
+    total_num_frames: int = 21
+    frame_height: int = 60
+    frame_width: int = 104
+
+    @property
+    def frame_seqlen(self) -> int:
+        return (self.frame_height // self.patch_size[1]) * \
+            (self.frame_width // self.patch_size[2])
+
+    def __call__(self, x_t, t, condition=None, causal: bool = True, **kwargs):
+        kwargs.setdefault("causal_chunk_frames",
+                          self.chunk_size if causal else None)
+        return super().__call__(x_t, t, condition=condition, **kwargs)
+
+    def init_cache(self, batch_size: int, dtype=jnp.bfloat16,
+                   max_frames: Optional[int] = None) -> Dict[str, Any]:
+        """Fixed-shape KV cache pytree (ref ``_create_external_caches``,
+        ``network_causal.py:703-816``)."""
+        max_tokens = (max_frames or self.total_num_frames) * self.frame_seqlen
+        head_dim = self.head_dim
+        cache = {"self": [], "cross": None, "len": jnp.zeros((), jnp.int32)}
+        for _ in range(self.num_layers):
+            cache["self"].append({
+                "k": jnp.zeros((batch_size, max_tokens, self.num_heads, head_dim),
+                               dtype),
+                "v": jnp.zeros((batch_size, max_tokens, self.num_heads, head_dim),
+                               dtype),
+            })
+        return cache
+
+    def init_cross_cache(self, params_scope_unused, condition):
+        raise NotImplementedError("use apply(..., method=net.precompute_cross_kv)")
+
+    def precompute_cross_kv(self, condition):
+        """Static cross-attn K/V per block (ref ``network_causal.py:330-358``)."""
+        text_embeds = condition["text_embeds"] if isinstance(condition, dict) else condition
+        context = self._embed_text(text_embeds)
+        return [blk.attn2.kv(context) for blk in self.blocks]
+
+    def forward_chunk(self, x_chunk, t, cache, start_frame: int,
+                      condition=None, cross_kv=None,
+                      fwd_pred_type: Optional[str] = None,
+                      store_kv: bool = True, **kwargs):
+        """One AR chunk: x_chunk [B, T_chunk, H, W, C]; returns (out, cache).
+
+        ``start_frame`` is a static int (chunk schedule is a static unrolled
+        loop, matching the reference's per-chunk python loop with fixed
+        shapes); cache writes use dynamic_update_slice at the derived offset.
+        """
+        b = x_chunk.shape[0]
+        tokens, grid = self._patchify(x_chunk)
+        f, hp, wp = grid
+        frame_seqlen = hp * wp
+        start_token = start_frame * frame_seqlen
+        cos, sin = _build_rope(self._rope_tables, self._rope_splits, f, hp, wp,
+                               start_frame=start_frame)
+
+        t_frames = self._per_frame_t(t, f)
+        temb, timestep_proj = self._time_embeds(self.condition_embedder, t_frames)
+
+        if cross_kv is None:
+            text_embeds = (condition["text_embeds"] if isinstance(condition, dict)
+                           else condition)
+            context = self._embed_text(text_embeds)
+        else:
+            context = None
+
+        x = tokens
+        new_self = []
+        for idx, block in enumerate(self.blocks):
+            x, updated = block(
+                x, timestep_proj, context, (cos, sin), frame_seqlen,
+                self_cache=cache["self"][idx], start_token=start_token,
+                cross_kv=cross_kv[idx] if cross_kv is not None else None,
+                store_kv=store_kv)
+            new_self.append(updated)
+
+        shift, scale = [p.squeeze(2) for p in jnp.split(
+            self.out_scale_shift_table[:, None].astype(jnp.float32)
+            + temb[:, :, None].astype(jnp.float32), 2, axis=2)]
+        xn = self.norm_out(x.astype(jnp.float32)).reshape(b, f, frame_seqlen, self.dim)
+        xn = xn * (1 + scale[:, :, None]) + shift[:, :, None]
+        x = xn.reshape(b, f * frame_seqlen, self.dim).astype(x_chunk.dtype)
+        x = self.proj_out(x)
+        out = self._unpatchify(x, grid, b)
+
+        out = self.noise_scheduler.convert_model_output(
+            x_chunk, out, t, src_pred_type=self.net_pred_type,
+            target_pred_type=fwd_pred_type or self.net_pred_type)
+
+        if store_kv:
+            new_cache = {"self": new_self, "cross": cache.get("cross"),
+                         "len": jnp.asarray(start_token + f * frame_seqlen, jnp.int32)}
+        else:
+            new_cache = cache
+        return out, new_cache

@@ -1,0 +1,130 @@
+"""Wan video DiT tests: forward shapes, per-frame t, causal masking, and the
+key invariant — KV-cached autoregressive generation exactly matches the
+parallel block-causal forward (mirrors the reference's KV-cache equivalence
+test, ``tests/test_network.py:935``)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastgen_tpu.networks.wan.network import CausalWanVideoDiT, WanVideoDiT
+
+KEY = jax.random.PRNGKey(0)
+
+
+def nets():
+    kwargs = dict(dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+                  out_channels=4, text_dim=32, rope_max_seq_len=64)
+    net = WanVideoDiT(**kwargs)
+    cnet = CausalWanVideoDiT(chunk_size=2, total_num_frames=4, frame_height=8,
+                             frame_width=8, **kwargs)
+    return net, cnet
+
+
+def inputs(b=2):
+    x = jax.random.normal(KEY, (b, 4, 8, 8, 4))
+    t = jnp.array([0.5, 0.9])[:b]
+    cond = {"text_embeds": jax.random.normal(KEY, (b, 6, 32))}
+    return x, t, cond
+
+
+@pytest.fixture(scope="module")
+def setup():
+    net, cnet = nets()
+    x, t, cond = inputs()
+    params = net.init({"params": KEY}, x, t, condition=cond)
+    cparams = cnet.init({"params": KEY}, x, t, condition=cond)
+    return net, cnet, params, cparams
+
+
+def test_parallel_forward(setup):
+    net, _, params, _ = setup
+    x, t, cond = inputs()
+    out = net.apply(params, x, t, condition=cond)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+    # per-frame inhomogeneous t
+    t_inhom = jnp.tile(jnp.array([[0.9, 0.9, 0.5, 0.5]]), (2, 1))
+    out2 = net.apply(params, x, t_inhom, condition=cond)
+    assert out2.shape == x.shape
+
+
+def test_pred_type_and_features(setup):
+    net, _, params, _ = setup
+    x, t, cond = inputs()
+    x0 = net.apply(params, x, t, condition=cond, fwd_pred_type="x0")
+    flow = net.apply(params, x, t, condition=cond, fwd_pred_type="flow")
+    ns = net.noise_scheduler
+    np.testing.assert_allclose(np.asarray(ns.flow_to_x0(x, flow, t)),
+                               np.asarray(x0), rtol=1e-4, atol=1e-4)
+    feats = net.apply(params, x, t, condition=cond, feature_indices=(0,),
+                      return_features_early=True)
+    assert feats[0].shape == (2, 4, 4, 4, 96)
+
+
+def test_skip_layers(setup):
+    net, _, params, _ = setup
+    x, t, cond = inputs()
+    out_full = net.apply(params, x, t, condition=cond)
+    out_skip = net.apply(params, x, t, condition=cond, skip_layers=(1,))
+    assert not np.allclose(np.asarray(out_full), np.asarray(out_skip))
+
+
+def test_causal_chunk0_isolation(setup):
+    _, cnet, _, cparams = setup
+    x, t, cond = inputs()
+    t_inhom = jnp.tile(jnp.array([[0.9, 0.9, 0.5, 0.5]]), (2, 1))
+    x_mod = x.at[:, 2:].set(jax.random.normal(jax.random.fold_in(KEY, 5),
+                                              (2, 2, 8, 8, 4)))
+    o_a = cnet.apply(cparams, x, t_inhom, condition=cond, causal=True)
+    o_b = cnet.apply(cparams, x_mod, t_inhom, condition=cond, causal=True)
+    np.testing.assert_array_equal(np.asarray(o_a[:, :2]), np.asarray(o_b[:, :2]))
+    assert not np.allclose(np.asarray(o_a[:, 2:]), np.asarray(o_b[:, 2:]))
+
+
+def test_ar_cache_matches_parallel(setup):
+    """KV-cached AR chunks == parallel block-causal forward."""
+    _, cnet, _, cparams = setup
+    x, t, cond = inputs()
+    t_inhom = jnp.tile(jnp.array([[0.9, 0.9, 0.5, 0.5]]), (2, 1))
+    parallel = cnet.apply(cparams, x, t_inhom, condition=cond, causal=True)
+
+    cache = cnet.init_cache(2, dtype=jnp.float32)
+    cross_kv = cnet.apply(cparams, cond, method=cnet.precompute_cross_kv)
+    outs = []
+    for start in range(0, 4, 2):
+        o, cache = cnet.apply(cparams, x[:, start:start + 2],
+                              t_inhom[:, start:start + 2], cache, start,
+                              condition=cond, cross_kv=cross_kv,
+                              method=cnet.forward_chunk)
+        outs.append(o)
+    ar = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(ar), np.asarray(parallel),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_store_kv_false_leaves_cache(setup):
+    _, cnet, _, cparams = setup
+    x, t, cond = inputs()
+    cache = cnet.init_cache(2, dtype=jnp.float32)
+    cross_kv = cnet.apply(cparams, cond, method=cnet.precompute_cross_kv)
+    _, cache2 = cnet.apply(cparams, x[:, :2], t[:, None].repeat(2, 1), cache, 0,
+                           condition=cond, cross_kv=cross_kv, store_kv=False,
+                           method=cnet.forward_chunk)
+    for a, b in zip(jax.tree_util.tree_leaves(cache),
+                    jax.tree_util.tree_leaves(cache2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rope_offset_changes_output(setup):
+    _, cnet, _, cparams = setup
+    x, t, cond = inputs()
+    cache = cnet.init_cache(2, dtype=jnp.float32)
+    cross_kv = cnet.apply(cparams, cond, method=cnet.precompute_cross_kv)
+    tt = t[:, None].repeat(2, 1)
+    o0, _ = cnet.apply(cparams, x[:, :2], tt, cache, 0, condition=cond,
+                       cross_kv=cross_kv, store_kv=False, method=cnet.forward_chunk)
+    o2, _ = cnet.apply(cparams, x[:, :2], tt, cache, 2, condition=cond,
+                       cross_kv=cross_kv, store_kv=False, method=cnet.forward_chunk)
+    # temporal RoPE offset must change attention (different phase rotation)...
+    assert not np.allclose(np.asarray(o0), np.asarray(o2), atol=1e-6)
