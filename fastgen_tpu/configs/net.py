@@ -148,3 +148,27 @@ CausalWan_Test_Config = L(build_causal_wan)(
     out_channels=4, text_dim=32, rope_max_seq_len=64,
     chunk_size=2, total_num_frames=4, frame_height=8, frame_width=8,
     net_pred_type="flow", schedule_type="rf")
+
+
+def build_edm2(**kwargs):
+    from fastgen_tpu.networks.edm2.network import EDM2Precond
+
+    precond_fields = {"img_resolution", "img_channels", "label_dim", "sigma_data",
+                      "sigma_shift", "logvar_channels", "drop_precond",
+                      "net_pred_type", "schedule_type", "schedule_kwargs"}
+    precond = {k: v for k, v in kwargs.items() if k in precond_fields}
+    model_kwargs = {k: v for k, v in kwargs.items() if k not in precond_fields}
+    return EDM2Precond(model_kwargs=model_kwargs, **precond)
+
+
+# EDM2 ImageNet-64 S (ref ``configs/net.py`` EDM2_IN64_S_Config)
+EDM2_IN64_S_Config = L(build_edm2)(
+    img_resolution=64, img_channels=3, label_dim=1000, sigma_data=0.5,
+    sigma_shift=0.0, logvar_channels=128, model_channels=192,
+    channel_mult=[1, 2, 3, 4], channel_mult_noise=None, channel_mult_emb=None,
+    num_blocks=3, attn_resolutions=[16, 8], dropout=0.0)
+
+EDM2_Test_Config = L(build_edm2)(
+    img_resolution=16, img_channels=3, label_dim=10, sigma_data=0.5,
+    logvar_channels=32, model_channels=16, channel_mult=[1, 2], num_blocks=1,
+    attn_resolutions=[8], dropout=0.0)

@@ -124,6 +124,7 @@ class FastGenModel:
         self.nets: Dict[str, Any] = {}       # linen modules per key
         self.txs: Dict[str, optax.GradientTransformation] = {}
         self.build_model()
+        self._register_param_postprocessors()
 
     # ------------------------------------------------------------- structure
     @property
@@ -162,6 +163,23 @@ class FastGenModel:
         """Create optax transforms per trainable net (ref ``model.py:514-536``)."""
         self.txs["net"] = make_optimizer(self.config.net_optimizer,
                                          self.config.net_scheduler)
+
+    def _register_param_postprocessors(self):
+        """Per-net transforms applied to updated params after each optimizer
+        step. EDM2's forced weight normalization (reference
+        ``ForcedWeightNormCallback``) is fused into the jitted step here."""
+        self.param_postprocessors: Dict[str, Callable] = {}
+        try:
+            from fastgen_tpu.networks.edm2.network import EDM2Precond, normalize_weights
+        except ImportError:
+            return
+        for key, net in self.nets.items():
+            if isinstance(net, EDM2Precond):
+                self.param_postprocessors[key] = normalize_weights
+
+    def postprocess_updated_params(self, key: str, params):
+        fn = getattr(self, "param_postprocessors", {}).get(key)
+        return fn(params) if fn else params
 
     # --------------------------------------------------------------- state
     def _init_net_params(self, key, net_key: str, rng, params_so_far=None) -> Any:
@@ -299,8 +317,9 @@ class FastGenModel:
                 updates, new_opt[k] = self.txs[k].update(
                     grads[k], state.opt_states[k], state.params[k]["params"])
                 new_params[k] = {**state.params[k],
-                                 "params": optax.apply_updates(
-                                     state.params[k]["params"], updates)}
+                                 "params": self.postprocess_updated_params(
+                                     k, optax.apply_updates(
+                                         state.params[k]["params"], updates))}
 
             # non-trainable variable updates (e.g. f-distill ratio bins) ride
             # in outputs["_variable_updates"] = {net_key: {collection: tree}}
@@ -360,8 +379,9 @@ class FastGenModel:
                 updates, new_opt[k] = self.txs[k].update(
                     grads[k], state.opt_states[k], state.params[k]["params"])
                 new_params[k] = {**state.params[k],
-                                 "params": optax.apply_updates(
-                                     state.params[k]["params"], updates)}
+                                 "params": self.postprocess_updated_params(
+                                     k, optax.apply_updates(
+                                         state.params[k]["params"], updates))}
             if variable_updates:
                 for k, colls in variable_updates.items():
                     new_params[k] = {**new_params.get(k, state.params[k]),

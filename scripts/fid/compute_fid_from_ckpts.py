@@ -1,0 +1,121 @@
+"""Checkpoint-sweep FID (ref ``scripts/fid/compute_fid_from_ckpts.py``).
+
+For each checkpoint step in the run's save dir: generate N samples with the
+few-step student (rank-strided over jax processes, ref ``:88-93``), compute
+inception stats, FID against the reference npz, write ``fid.json``::
+
+    python scripts/fid/compute_fid_from_ckpts.py --config=<config.py> \
+        --ref=<fid-refs/cifar10-32x32.npz> [--num_samples=50000] [--batch=256] \
+        [--detector=auto|inception_torch|random_proj] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+from scripts.fid import fid as fid_lib  # noqa: E402
+from scripts.inference.inference_utils import init_model, select_params  # noqa: E402
+
+
+def parse_args():
+    argv = sys.argv[1:]
+    overrides = []
+    if "-" in argv:
+        idx = argv.index("-")
+        overrides = argv[idx + 1:]
+        argv = argv[:idx]
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--ref", required=True, help="reference stats npz (mu, sigma)")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--num_samples", type=int, default=50000)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--min_ckpt", type=int, default=0)
+    p.add_argument("--max_ckpt", type=int, default=10**9)
+    p.add_argument("--detector", default="auto")
+    p.add_argument("--detector_path", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv), overrides
+
+
+def main():
+    args, overrides = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fastgen_tpu.configs.config_utils import (
+        import_config_from_python_file, override_config_with_opts)
+    from fastgen_tpu.utils.checkpointer import Checkpointer
+
+    config = import_config_from_python_file(args.config)
+    override_config_with_opts(config, overrides)
+    model = init_model(config)
+    state_template = model.init_state(jax.random.PRNGKey(config.trainer.seed))
+
+    save_dir = args.ckpt_dir or os.path.join(config.log_config.save_path,
+                                             config.trainer.checkpointer.save_dir)
+    ckpt = Checkpointer(save_dir, async_save=False)
+    steps_avail = sorted(s for s in (ckpt.manager.all_steps() or [])
+                         if args.min_ckpt <= s <= args.max_ckpt)
+    if not steps_avail:
+        raise FileNotFoundError(f"No checkpoints in {save_dir}")
+
+    detector = fid_lib.get_detector(args.detector, args.detector_path)
+    print(f"Detector: {type(detector).__name__} (dim {detector.feature_dim})")
+    sample_steps = args.steps or config.model.student_sample_steps
+    label_dim = getattr(model.net, "label_dim", 0)
+
+    rank = jax.process_index()
+    world = jax.process_count()
+    results = {}
+    for step in steps_avail:
+        state, _, _ = ckpt.load(state_template, step=step)
+        params_net = select_params(model, state)
+
+        @jax.jit
+        def gen_batch(key):
+            noise = jax.random.normal(
+                key, (args.batch,) + tuple(config.model.input_shape), model.precision)
+            cond = None
+            if label_dim:
+                ids = jax.random.randint(jax.random.fold_in(key, 1), (args.batch,),
+                                         0, label_dim)
+                cond = jax.nn.one_hot(ids, label_dim, dtype=model.precision)
+            return model.generator_fn(params_net, noise, rng=key, condition=cond,
+                                      student_sample_steps=sample_steps,
+                                      t_list=config.model.sample_t_cfg.t_list)
+
+        def sample_iter():
+            # rank-strided batches: each process generates a disjoint seed range
+            n_batches = (args.num_samples + args.batch - 1) // args.batch
+            for bi in range(rank, n_batches, world):
+                key = jax.random.fold_in(jax.random.PRNGKey(args.seed), bi)
+                imgs = np.asarray(gen_batch(key))
+                yield np.clip((imgs + 1) * 127.5, 0, 255).astype(np.uint8)
+
+        score = fid_lib.calc(sample_iter(), args.ref, detector=detector,
+                             max_samples=args.num_samples // world)
+        results[str(step)] = score
+        print(f"ckpt {step}: FID = {score:.4f}")
+
+    if rank == 0:
+        out_path = os.path.join(save_dir, "fid.json")
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"Wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""FID computation (ref ``scripts/fid/fid.py``).
+
+Inception statistics (mu, Sigma) over generated samples + the Frechet distance
+against reference stats (EDM-repo ``*.npz``). Detectors are pluggable:
+
+* ``inception_torch`` — the reference's own detector path: NVIDIA's pickled
+  InceptionV3 loaded via torch (CPU). Provide the file with
+  ``--detector_path`` or $FID_INCEPTION_PATH (zero-egress environments cannot
+  download it, ref ``networks/inception.py:23``).
+* ``random_proj`` — deterministic random-projection features for pipeline
+  tests (not a real FID).
+
+Distributed: each jax process computes stats over its rank-strided shard of
+samples; mu/Sigma partial sums are summed across processes (the reference
+all_reduces them, ``fid.py:82-84``) — here via
+``jax.experimental.multihost_utils`` when world > 1.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class RandomProjDetector:
+    """Deterministic feature extractor for pipeline tests."""
+
+    feature_dim = 256
+
+    def __init__(self, seed: int = 0):
+        rs = np.random.RandomState(seed)
+        self._w = rs.randn(3 * 8 * 8, self.feature_dim).astype(np.float32) * 0.05
+
+    def __call__(self, images_uint8: np.ndarray) -> np.ndarray:
+        import PIL.Image
+
+        feats = []
+        for img in images_uint8:
+            small = np.asarray(
+                PIL.Image.fromarray(img).resize((8, 8), PIL.Image.BILINEAR),
+                np.float32) / 127.5 - 1.0
+            if small.ndim == 2:
+                small = np.stack([small] * 3, -1)
+            feats.append(small.reshape(-1) @ self._w)
+        return np.stack(feats)
+
+
+class TorchInceptionDetector:
+    """NVIDIA's pickled InceptionV3 via torch CPU (ref ``inception.py:23``)."""
+
+    feature_dim = 2048
+
+    def __init__(self, path: Optional[str] = None):
+        import pickle
+
+        import torch
+
+        path = path or os.environ.get("FID_INCEPTION_PATH")
+        if not path or not os.path.exists(path):
+            raise FileNotFoundError(
+                "InceptionV3 detector pickle not found; set FID_INCEPTION_PATH "
+                "or pass --detector_path (zero-egress env cannot download it)")
+        with open(path, "rb") as f:
+            self.model = pickle.load(f)
+        self.model.eval()
+        self._torch = torch
+
+    def __call__(self, images_uint8: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        with torch.no_grad():
+            x = torch.as_tensor(images_uint8).permute(0, 3, 1, 2)  # NCHW uint8
+            feats = self.model(x, return_features=True)
+        return feats.numpy()
+
+
+def get_detector(name: str = "auto", path: Optional[str] = None):
+    if name == "random_proj":
+        return RandomProjDetector()
+    if name == "inception_torch":
+        return TorchInceptionDetector(path)
+    # auto: inception if weights available, else random projection
+    try:
+        return TorchInceptionDetector(path)
+    except (FileNotFoundError, ImportError):
+        return RandomProjDetector()
+
+
+def calculate_inception_stats(sample_iter, detector, max_samples: Optional[int] = None
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """mu/Sigma over an iterator of uint8 NHWC image batches
+    (ref ``fid.py:26-88``)."""
+    dim = detector.feature_dim
+    mu_sum = np.zeros(dim, np.float64)
+    sigma_sum = np.zeros((dim, dim), np.float64)
+    n = 0
+    for batch in sample_iter:
+        feats = detector(batch).astype(np.float64)
+        mu_sum += feats.sum(axis=0)
+        sigma_sum += feats.T @ feats
+        n += feats.shape[0]
+        if max_samples and n >= max_samples:
+            break
+    assert n > 0, "no samples"
+
+    # cross-process reduction (ref dist.all_reduce of mu/Sigma)
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            stacked = np.concatenate([mu_sum, sigma_sum.reshape(-1), [float(n)]])
+            reduced = np.asarray(multihost_utils.process_allgather(stacked)).sum(0)
+            mu_sum = reduced[:dim]
+            sigma_sum = reduced[dim:-1].reshape(dim, dim)
+            n = int(reduced[-1])
+    except Exception:
+        pass
+
+    mu = mu_sum / n
+    sigma = (sigma_sum - n * np.outer(mu, mu)) / max(n - 1, 1)
+    return mu, sigma
+
+
+def calculate_fid_from_inception_stats(mu: np.ndarray, sigma: np.ndarray,
+                                       mu_ref: np.ndarray, sigma_ref: np.ndarray
+                                       ) -> float:
+    """Frechet distance (ref ``fid.py:91-95``)."""
+    import scipy.linalg
+
+    m = np.square(mu - mu_ref).sum()
+    s, _ = scipy.linalg.sqrtm(np.dot(sigma, sigma_ref), disp=False)
+    return float(np.real(m + np.trace(sigma + sigma_ref - s * 2)))
+
+
+def calc(sample_iter, ref_path: str, detector=None, max_samples=None) -> float:
+    """End-to-end: stats over samples vs reference npz (ref ``fid.py:98``)."""
+    detector = detector or get_detector()
+    mu, sigma = calculate_inception_stats(sample_iter, detector, max_samples)
+    with np.load(ref_path) as ref:
+        mu_ref, sigma_ref = ref["mu"], ref["sigma"]
+    return calculate_fid_from_inception_stats(mu, sigma, mu_ref, sigma_ref)
