@@ -1,0 +1,283 @@
+"""WebDataset-style tar-shard loaders (ref ``fastgen/datasets/wds_dataloaders.py``
++ ``wds_utils.py``).
+
+The ``webdataset``/``av`` packages are not in this image, so the tar-shard
+format is read directly: each shard is a tar whose members group into samples
+by basename-before-first-dot; extensions select decoders. The public config
+surface matches the reference: ``datatags=["WDS:/path"]``, ``key_map``,
+``files_map``, ``presets_map``, ``presets_filter``, ``ignore_index``,
+``input_res`` (``wds_dataloaders.py:194-417``).
+
+Determinism / resume: shards are ordered deterministically, split across
+processes (node-splitter, ``wds_utils.py:281``), and ``DeterministicWDS``
+resumes from an exact global sample index (``wds_utils.py:530-659``) — the
+trainer passes ``sampler_start_idx = iter * batch * accum * world``
+(``trainer.py:156-163``).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import json
+import os
+import tarfile
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+import PIL.Image
+
+from fastgen_tpu.data.crop_resize import crop_resize_image
+from fastgen_tpu.utils import logging_utils as logger
+
+# canned negative prompts etc. (ref presets in ``wds_dataloaders.py``)
+PRESETS = {
+    "empty_string": "",
+    "neg_prompt_wan": (
+        "Bright tones, overexposed, static, blurred details, subtitles, style, "
+        "works, paintings, images, static, overall gray, worst quality, "
+        "low quality, JPEG compression residue, ugly, incomplete, extra fingers, "
+        "poorly drawn hands, poorly drawn faces, deformed, disfigured, "
+        "misshapen limbs, fused fingers, still picture, messy background, "
+        "three legs, many people in the background, walking backwards"),
+}
+
+
+def decode_member(name: str, data: bytes) -> Any:
+    """Decode one tar member by extension (ref ``decoders.py``)."""
+    ext = name.split(".", 1)[1] if "." in name else ""
+    if ext in ("jpg", "jpeg", "png", "webp"):
+        return PIL.Image.open(io.BytesIO(data))
+    if ext in ("txt", "text"):
+        return data.decode("utf-8")
+    if ext == "json":
+        return json.loads(data)
+    if ext == "cls":
+        return int(data.decode())
+    if ext in ("npy",):
+        return np.load(io.BytesIO(data), allow_pickle=False)
+    if ext in ("npz",):
+        return dict(np.load(io.BytesIO(data)))
+    if ext in ("pth", "pt"):
+        import torch
+
+        t = torch.load(io.BytesIO(data), map_location="cpu", weights_only=True)
+        return t.numpy() if hasattr(t, "numpy") else t
+    return data
+
+
+def iter_tar_samples(path: str) -> Iterator[Dict[str, Any]]:
+    """Yield {ext: decoded} sample dicts from one tar shard, in file order."""
+    with tarfile.open(path, "r") as tf:
+        current_key = None
+        sample: Dict[str, Any] = {}
+        for member in tf:
+            if not member.isfile():
+                continue
+            base = os.path.basename(member.name)
+            if "." not in base:
+                continue
+            key, ext = base.split(".", 1)
+            if current_key is not None and key != current_key and sample:
+                sample["__key__"] = current_key
+                yield sample
+                sample = {}
+            current_key = key
+            sample[ext] = decode_member(base, tf.extractfile(member).read())
+        if sample:
+            sample["__key__"] = current_key
+            yield sample
+
+
+def resolve_datatags(datatags: List[str]) -> List[str]:
+    """'WDS:<dir-or-glob>' -> sorted shard paths (deterministic order)."""
+    shards: List[str] = []
+    for tag in datatags:
+        path = tag.split(":", 1)[1] if tag.startswith("WDS:") else tag
+        if os.path.isdir(path):
+            shards.extend(sorted(glob.glob(os.path.join(path, "*.tar"))))
+        else:
+            shards.extend(sorted(glob.glob(path)))
+    if not shards:
+        raise FileNotFoundError(f"No tar shards found for {datatags}")
+    return shards
+
+
+class BaseWDSLoader:
+    """Shard iteration with node splitting + epoch shuffling
+    (ref ``wds_utils.py:364``)."""
+
+    def __init__(self, datatags: List[str], batch_size: int = 32, shuffle: bool = True,
+                 seed: int = 0, sampler_start_idx: int = 0, **kwargs):
+        self.shards = resolve_datatags(datatags)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.start_idx = sampler_start_idx
+        try:
+            import jax
+
+            self.rank, self.world = jax.process_index(), jax.process_count()
+        except Exception:
+            self.rank, self.world = 0, 1
+
+    def _shard_order(self, epoch: int) -> List[str]:
+        order = list(self.shards)
+        if self.shuffle:
+            np.random.RandomState((self.seed + epoch) % (1 << 31)).shuffle(order)
+        # node splitting: strided by process (ref ``_nodesplitter``)
+        return order[self.rank::self.world]
+
+    def iter_samples(self) -> Iterator[Dict[str, Any]]:
+        epoch = 0
+        while True:
+            for shard in self._shard_order(epoch):
+                yield from iter_tar_samples(shard)
+            epoch += 1
+
+    def map_sample(self, sample: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        return sample
+
+    def collate(self, samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for k in samples[0]:
+            vals = [s[k] for s in samples]
+            if isinstance(vals[0], np.ndarray):
+                out[k] = np.stack(vals)
+            else:
+                out[k] = vals
+        return out
+
+    def __iter__(self):
+        it = self.iter_samples()
+        skip = self.start_idx // max(self.world, 1)
+        batch: List[Dict[str, Any]] = []
+        seen = 0
+        for sample in it:
+            mapped = self.map_sample(sample)
+            if mapped is None:
+                continue
+            seen += 1
+            if seen <= skip:
+                continue
+            batch.append(mapped)
+            if len(batch) == self.batch_size:
+                yield self.collate(batch)
+                batch = []
+
+
+class WDSLoader(BaseWDSLoader):
+    """key_map / files_map / presets_map sample assembly
+    (ref ``wds_dataloaders.py:194-417``)."""
+
+    def __init__(self, datatags, batch_size: int = 32, key_map: Optional[dict] = None,
+                 files_map: Optional[dict] = None, presets_map: Optional[dict] = None,
+                 presets_filter: Optional[dict] = None, ignore_index: Optional[list] = None,
+                 input_res: Optional[int] = None, crop_mode: str = "center", **kwargs):
+        super().__init__(datatags, batch_size=batch_size, **kwargs)
+        self.key_map = key_map or {}
+        self.files_map = {}
+        for out_key, path in (files_map or {}).items():
+            self.files_map[out_key] = np.load(path) if path.endswith((".npy", ".npz")) \
+                else open(path, "rb").read()
+        self.presets_map = presets_map or {}
+        self.presets_filter = presets_filter or {}
+        self.ignore_index = set(ignore_index or [])
+        self.input_res = input_res
+        self.crop_mode = crop_mode
+
+    def _postprocess(self, value):
+        if isinstance(value, PIL.Image.Image):
+            res = self.input_res or min(value.size)
+            arr = crop_resize_image(value, res, self.crop_mode)
+            return arr.astype(np.float32) / 127.5 - 1.0
+        return value
+
+    def map_sample(self, sample):
+        if sample.get("__key__") in self.ignore_index:
+            return None
+        for k, want in self.presets_filter.items():
+            if sample.get(k) != want:
+                return None
+        out = {}
+        for out_key, ext in self.key_map.items():
+            if ext not in sample:
+                logger.warning(f"sample {sample.get('__key__')} missing {ext!r}; skipped")
+                return None
+            out[out_key] = self._postprocess(sample[ext])
+        for out_key, preset in self.presets_map.items():
+            out[out_key] = PRESETS.get(preset, preset)
+        for out_key, value in self.files_map.items():
+            out[out_key] = value
+        return out
+
+
+class ImageWDSLoader(WDSLoader):
+    """(ref ``wds_dataloaders.py:419``)."""
+
+    def __init__(self, datatags, input_res: int = 512, **kwargs):
+        kwargs.setdefault("key_map", {"real": "jpg", "condition": "txt"})
+        super().__init__(datatags, input_res=input_res, **kwargs)
+
+
+class VideoWDSLoader(WDSLoader):
+    """(ref ``wds_dataloaders.py:487``). Without the ``av`` package, videos are
+    read from .npy/.npz latent members ([T,H,W,C]); raw mp4 decode is gated."""
+
+    def __init__(self, datatags, sequence_length: int = 81, img_size=None, **kwargs):
+        kwargs.setdefault("key_map", {"real": "npy", "condition": "txt"})
+        super().__init__(datatags, **kwargs)
+        self.sequence_length = sequence_length
+
+    def map_sample(self, sample):
+        if "mp4" in self.key_map.values():
+            raise NotImplementedError(
+                "mp4 decode requires the 'av' package (not in this image); "
+                "use latent shards (.npy/.npz) instead")
+        out = super().map_sample(sample)
+        if out is None:
+            return None
+        real = out.get("real")
+        if isinstance(real, np.ndarray) and real.ndim == 4:
+            out["real"] = real[: self.sequence_length]
+        return out
+
+
+class DeterministicWDS(WDSLoader):
+    """Exact global-sample-index resume (ref ``wds_utils.py:530-659``):
+    no shuffling of samples within shards; shard order seeded per epoch;
+    global index = epoch-major, shard-major, file order. Supports the full
+    WDSLoader key_map surface."""
+
+    def __init__(self, datatags, batch_size: int = 32, **kwargs):
+        kwargs["shuffle"] = kwargs.get("shuffle", True)
+        super().__init__(datatags, batch_size=batch_size, **kwargs)
+
+    def _count_samples(self) -> int:
+        if not hasattr(self, "_total"):
+            self._total = sum(1 for shard in self.shards
+                              for _ in iter_tar_samples(shard))
+        return self._total
+
+    def __iter__(self):
+        # world-strided: process r takes global samples r, r+world, ... exactly
+        # like the InfiniteSampler, so global batches tile deterministically
+        idx = self.start_idx + self.rank
+        total = self._count_samples()
+        batch: List[Dict[str, Any]] = []
+        while True:
+            epoch = idx // total
+            order = list(self.shards)
+            if self.shuffle:
+                np.random.RandomState((self.seed + epoch) % (1 << 31)).shuffle(order)
+            flat: List[Dict[str, Any]] = []
+            for shard in order:
+                flat.extend(iter_tar_samples(shard))
+            while idx // total == epoch:
+                sample = self.map_sample(flat[idx % total])
+                if sample is not None:
+                    batch.append(sample)
+                    if len(batch) == self.batch_size:
+                        yield self.collate(batch)
+                        batch = []
+                idx += self.world

@@ -220,6 +220,10 @@ class FastGenModel:
             params[name] = _tree_cast(self._init_net_params(k, name, k, params),
                                       self.precision)
 
+        # pretrained teacher/student weights from torch checkpoints
+        # (ref ``model.py:176-238`` build_teacher + load_student_weights_and_ema)
+        params = self._load_pretrained(params)
+
         # teacher-seeded nets (e.g. fake_score starts from teacher weights)
         params = self.post_init_params(params)
 
@@ -235,6 +239,63 @@ class FastGenModel:
 
     def post_init_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
         return params
+
+    def _checkpoint_arch(self, net) -> Optional[str]:
+        name = type(net).__name__
+        if "EDM2" in name:
+            return None  # EDM2 converter pending
+        if "EDM" in name:
+            return "edm"
+        if name == "DiT":
+            return "dit"
+        return None
+
+    def _load_pretrained(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """Load torch teacher/student checkpoints into the param dict
+        (ref ``model.py:600-644`` _load_pretrained_model)."""
+        path = getattr(self.config, "pretrained_model_path", "")
+        if path:
+            from fastgen_tpu.utils import torch_convert
+
+            arch = self._checkpoint_arch(self.nets.get("teacher") or self.net)
+            if arch is None:
+                logger.warning(f"No converter for {type(self.net).__name__}; "
+                               "pretrained_model_path ignored")
+            else:
+                variables = torch_convert.convert_checkpoint(path, arch)
+                variables = _tree_cast(variables, self.precision)
+                for key in ("teacher", "net"):
+                    if key == "net" and not self.config.load_student_weights:
+                        continue
+                    if key in params:
+                        torch_convert.verify_against_template(variables, params[key])
+                        params[key] = self._merge_variables(params[key], variables)
+        student_path = getattr(self.config, "pretrained_student_net_path", "")
+        if student_path and self.config.load_student_weights:
+            from fastgen_tpu.utils import torch_convert
+
+            arch = self._checkpoint_arch(self.net)
+            if arch:
+                variables = _tree_cast(
+                    torch_convert.convert_checkpoint(student_path, arch),
+                    self.precision)
+                params["net"] = self._merge_variables(params["net"], variables)
+        return params
+
+    @staticmethod
+    def _merge_variables(template, loaded):
+        """Overlay loaded leaves onto the template (missing keys keep init)."""
+        import numpy as _np
+
+        def walk(tmpl, conv):
+            if not isinstance(tmpl, dict):
+                return jnp.asarray(conv, dtype=tmpl.dtype) if conv is not None else tmpl
+            out = {}
+            for k, v in tmpl.items():
+                out[k] = walk(v, conv.get(k) if isinstance(conv, dict) else None)
+            return out
+
+        return walk(template, loaded)
 
     def ema_specs(self):
         use_ema = self.config.use_ema
