@@ -52,3 +52,15 @@ Discriminator_EDM_Test_Config = L(Discriminator_EDM)(
     all_res=(16, 8),
     in_channels=32,
 )
+
+
+from fastgen_tpu.networks.discriminators import Discriminator_VideoDiT
+
+# 2B patchify spatial-2; inner_dim=1920//4 (ref ``discriminator.py``)
+Discriminator_CogVideoX2B_Config = L(Discriminator_VideoDiT)(
+    feature_indices=None, num_blocks=30, disc_type="dit_simple_conv3d",
+    inner_dim=1920 // 4)
+
+Discriminator_Wan_Config = L(Discriminator_VideoDiT)(
+    feature_indices=None, num_blocks=30, disc_type="dit_conv1d_2d",
+    inner_dim=1536 // 4)

@@ -172,3 +172,92 @@ EDM2_Test_Config = L(build_edm2)(
     img_resolution=16, img_channels=3, label_dim=10, sigma_data=0.5,
     logvar_channels=32, model_channels=16, channel_mult=[1, 2], num_blocks=1,
     attn_resolutions=[8], dropout=0.0)
+
+
+def build_sd15(**kwargs):
+    from fastgen_tpu.networks.sd.unet import StableDiffusion15
+
+    return StableDiffusion15(**kwargs)
+
+
+def build_sdxl(**kwargs):
+    from fastgen_tpu.networks.sd.unet import StableDiffusionXL
+
+    return StableDiffusionXL(**kwargs)
+
+
+def build_flux(**kwargs):
+    from fastgen_tpu.networks.flux.network import Flux
+
+    return Flux(**kwargs)
+
+
+def build_cogvideox(**kwargs):
+    from fastgen_tpu.networks.cogvideox.network import CogVideoX
+
+    return CogVideoX(**kwargs)
+
+
+def build_cosmos(**kwargs):
+    from fastgen_tpu.networks.cosmos.network import CosmosPredict2
+
+    return CosmosPredict2(**kwargs)
+
+
+def build_wan_i2v(**kwargs):
+    from fastgen_tpu.networks.wan.network_i2v import WanI2V
+
+    return WanI2V(**kwargs)
+
+
+def build_causal_wan_i2v(**kwargs):
+    from fastgen_tpu.networks.wan.network_i2v import CausalWanI2V
+
+    return CausalWanI2V(**kwargs)
+
+
+def build_vace_wan(**kwargs):
+    from fastgen_tpu.networks.wan.network_vace import VACEWan
+
+    return VACEWan(**kwargs)
+
+
+def build_causal_vace_wan(**kwargs):
+    from fastgen_tpu.networks.wan.network_vace import CausalVACEWan
+
+    return CausalVACEWan(**kwargs)
+
+
+SD15_Config = L(build_sd15)(context_dim=768, in_channels=4)
+
+SDXL_Config = L(build_sdxl)(context_dim=2048, in_channels=4)
+
+# Flux.1-dev: 19 joint + 38 single blocks, dim 3072, guidance-distilled
+Flux_Config = L(build_flux)(
+    dim=3072, num_layers=19, num_single_layers=38, num_heads=24,
+    in_channels=16, text_dim=4096, pooled_dim=768, guidance_embeds=True)
+
+CogVideoX_2B_Config = L(build_cogvideox)(
+    dim=1920, num_layers=30, num_heads=30, in_channels=16, text_dim=4096,
+    use_rotary=False)
+
+CogVideoX_5B_Config = L(build_cogvideox)(
+    dim=3072, num_layers=42, num_heads=48, in_channels=16, text_dim=4096,
+    use_rotary=True)
+
+CosmosPredict2_2B_Config = L(build_cosmos)(
+    dim=2048, num_layers=28, num_heads=16, ffn_dim=8192, in_channels=16,
+    out_channels=16, text_dim=1024, rope_max_seq_len=1024)
+
+WanI2V_14B_Config = L(build_wan_i2v)(
+    dim=5120, num_layers=40, num_heads=40, ffn_dim=13824, in_channels=16,
+    out_channels=16, text_dim=4096, rope_max_seq_len=1024, image_embed_dim=1280)
+
+CausalWanI2V_1_3B_Config = L(build_causal_wan_i2v)(
+    dim=1536, num_layers=30, num_heads=12, ffn_dim=8960, in_channels=16,
+    out_channels=16, text_dim=4096, rope_max_seq_len=1024,
+    chunk_size=3, total_num_frames=21, frame_height=60, frame_width=104)
+
+VACEWan_1_3B_Config = L(build_vace_wan)(
+    dim=1536, num_layers=30, num_heads=12, ffn_dim=8960, in_channels=16,
+    out_channels=16, text_dim=4096, rope_max_seq_len=1024, num_vace_layers=8)

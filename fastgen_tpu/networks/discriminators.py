@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -138,3 +139,82 @@ DISCRIMINATORS = {
     "sdxl": Discriminator_SDXL,
     "image_dit": Discriminator_ImageDiT,
 }
+
+
+class Discriminator_VideoDiT(Discriminator):
+    """Video DiT discriminator heads over transformer token features
+    (ref ``discriminators.py:683`` with 6 head builders ``:256-681``).
+
+    Features come in as [B, F, H', W', C]. ``disc_type`` selects the head:
+    * ``dit_simple_conv3d`` — one 3D conv stack to a logit
+    * ``dit_conv3d``        — deeper 3D conv pyramid
+    * ``dit_conv1d_2d``     — factorized temporal-1D + spatial-2D convs
+    * ``dit_attention``     — token-pooled attention head
+    * ``dit_factorized``    — spatial then temporal reduction
+    """
+
+    num_blocks: int = 30
+    inner_dim: int = 480
+    disc_type: str = "dit_simple_conv3d"
+
+    @property
+    def resolved_feature_indices(self) -> Tuple[int, ...]:
+        if self.feature_indices is None:
+            return (self.num_blocks // 2,)
+        return tuple(sorted(i for i in self.feature_indices if i < self.num_blocks))
+
+    def _head(self, f, i):
+        name = f"head_{i}"
+        ch = self.inner_dim
+        if self.disc_type in ("dit_simple_conv3d", "dit_conv3d"):
+            h = nn.Conv(ch, (3, 3, 3), strides=(1, 2, 2),
+                        padding=((1, 1), (1, 1), (1, 1)), name=f"{name}_c0")(f)
+            h = nn.silu(nn.GroupNorm(num_groups=_get_optimal_groups(ch),
+                                     name=f"{name}_n0")(h))
+            if self.disc_type == "dit_conv3d":
+                h = nn.Conv(ch, (3, 3, 3), strides=(2, 2, 2),
+                            padding=((1, 1), (1, 1), (1, 1)), name=f"{name}_c1")(h)
+                h = nn.silu(nn.GroupNorm(num_groups=_get_optimal_groups(ch),
+                                         name=f"{name}_n1")(h))
+            h = nn.Conv(1, (1, 1, 1), name=f"{name}_out")(h)
+            return jnp.mean(h, axis=(1, 2, 3))
+        if self.disc_type == "dit_conv1d_2d":
+            b, t, hh, ww, c = f.shape
+            h = nn.Conv(ch, (1, 3, 3), strides=(1, 2, 2),
+                        padding=((0, 0), (1, 1), (1, 1)), name=f"{name}_sp")(f)
+            h = nn.silu(nn.GroupNorm(num_groups=_get_optimal_groups(ch),
+                                     name=f"{name}_n0")(h))
+            h = nn.Conv(ch, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                        name=f"{name}_tm")(h)
+            h = nn.silu(nn.GroupNorm(num_groups=_get_optimal_groups(ch),
+                                     name=f"{name}_n1")(h))
+            h = nn.Conv(1, (1, 1, 1), name=f"{name}_out")(h)
+            return jnp.mean(h, axis=(1, 2, 3))
+        if self.disc_type == "dit_attention":
+            b = f.shape[0]
+            tokens = f.reshape(b, -1, f.shape[-1])
+            tokens = nn.Dense(ch, name=f"{name}_proj")(tokens)
+            q = self.param(f"{name}_query", nn.initializers.normal(0.02), (1, 1, ch))
+            attn = jax.nn.softmax(
+                (q @ jnp.swapaxes(tokens, 1, 2)) / jnp.sqrt(ch), axis=-1)
+            pooled = (attn @ tokens)[:, 0]
+            return nn.Dense(1, name=f"{name}_out")(nn.silu(pooled))
+        if self.disc_type == "dit_factorized":
+            h = jnp.mean(f, axis=(2, 3))  # spatial pool -> [B, T, C]
+            h = nn.Dense(ch, name=f"{name}_fc0")(h)
+            h = nn.silu(h)
+            h = nn.Conv(ch, (3,), padding=((1, 1),), name=f"{name}_tconv")(h)
+            h = nn.silu(h)
+            return jnp.mean(nn.Dense(1, name=f"{name}_out")(h), axis=1)
+        raise ValueError(f"Unknown disc_type {self.disc_type!r}")
+
+    @nn.compact
+    def __call__(self, feats) -> jnp.ndarray:
+        indices = self.resolved_feature_indices
+        if len(feats) != len(indices):
+            raise ValueError(f"Got {len(feats)} features for {len(indices)} heads")
+        logits = [self._head(f, i) for i, f in enumerate(feats)]
+        return jnp.concatenate([l.reshape(l.shape[0], -1) for l in logits], axis=1)
+
+
+DISCRIMINATORS["video_dit"] = Discriminator_VideoDiT

@@ -406,6 +406,7 @@ class WanVideoDiT(FastGenNetwork):
                  fwd_pred_type: Optional[str] = None,
                  skip_layers: Optional[Tuple[int, ...]] = None,
                  causal_chunk_frames: Optional[int] = None,
+                 extra_context=None,
                  train: bool = False, **kwargs):
         if fwd_pred_type is not None:
             assert fwd_pred_type in NET_PRED_TYPES
@@ -437,6 +438,11 @@ class WanVideoDiT(FastGenNetwork):
             raise ValueError("r provided but r_timestep is not enabled")
 
         context = self._embed_text(text_embeds)
+        if extra_context is not None:
+            # e.g. CLIP image tokens for I2V (prepended, ref image branch
+            # ``network_causal.py:294-322``)
+            context = jnp.concatenate([extra_context.astype(context.dtype),
+                                       context], axis=1)
 
         causal_block = (causal_chunk_frames * frame_seqlen
                         if causal_chunk_frames else None)

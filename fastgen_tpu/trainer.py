@@ -108,7 +108,10 @@ class Trainer:
         # dataloaders; exact sample-index resume (ref ``trainer.py:156-163``)
         cb.on_dataloader_init_start(model, iteration=iter_start)
         loader_cfg = self.config.dataloader_train
-        batch_size = loader_cfg["batch_size"] if isinstance(loader_cfg, dict) else loader_cfg.batch_size
+        if isinstance(loader_cfg, dict):
+            batch_size = loader_cfg.get("batch_size", 1)
+        else:
+            batch_size = getattr(loader_cfg, "batch_size", 1)
         accum = self._grad_accum_rounds(batch_size)
         sampler_start_idx = iter_start * batch_size * accum * mesh_lib.process_count()
         loader = instantiate(loader_cfg, sampler_start_idx=sampler_start_idx)
