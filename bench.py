@@ -65,15 +65,21 @@ def main():
     fn = jax.jit(sample4)
     noise = jax.random.normal(key, (batch, 32, 32, 3), dtype)
 
+    def sync(o):
+        # some remote backends no-op block_until_ready; force a host fetch
+        return float(jnp.sum(o[0, 0, 0]))
+
     # warmup / compile
     out = fn(params, noise, key)
-    jax.block_until_ready(out)
+    sync(out)
 
     reps = int(os.environ.get("FASTGEN_BENCH_REPS", "10"))
     t_start = time.perf_counter()
+    prev = noise
     for i in range(reps):
-        out = fn(params, noise, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+        # chain the output into the next input so reps cannot overlap/elide
+        prev = fn(params, prev, jax.random.fold_in(key, i))
+    sync(prev)
     elapsed = time.perf_counter() - t_start
     samples_per_sec = batch * reps / elapsed
 

@@ -222,3 +222,26 @@ class GradClipCallback(Callback):
 class EMACallback(Callback):
     """Parity shim: EMA is fused into the jitted train step as a sharded lerp
     (see ``methods/base.py``); nothing to do per-step on the host."""
+
+
+class CTScheduleCallback(Callback):
+    """Parity shim (ref ``callbacks/ct_schedule.py:20``): the ECT curriculum
+    ratio is computed inside the jitted CM step from the traced iteration
+    (``CMModel.ct_ratio``, driven by ``model.ct_schedule`` config) — this
+    callback only logs the current stage/ratio."""
+
+    def __init__(self, config=None, trainer=None, logging_iter: int = 1000, **kwargs):
+        super().__init__(config, trainer)
+        self.logging_iter = logging_iter
+
+    def on_training_step_end(self, model, state=None, data_batch=None,
+                             loss_map=None, outputs=None, iteration=0):
+        if iteration % self.logging_iter != 0 or not is_rank0():
+            return
+        cs = getattr(model.config, "ct_schedule", None)
+        if cs is None or not getattr(cs, "enabled", False):
+            return
+        nimg = iteration * cs.batch_size
+        stage = nimg // (cs.kimg_per_stage * 1000)
+        ratio = min(1 - 1 / cs.q ** (stage + 1), cs.ratio_limit)
+        logger.info(f"ct_schedule: kimg={nimg/1e3:.1f} stage={stage} ratio={ratio:.4f}")

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from fastgen_tpu.configs.lazy import LazyCall as L
 from fastgen_tpu.callbacks.basic import (
+    CTScheduleCallback,
     DeviceStatsCallback,
     EMACallback,
     GradClipCallback,
@@ -20,6 +21,7 @@ MemTracker_CALLBACK = {"mem_tracker": L(MemTrackerCallback)()}
 TrainProfiler_CALLBACK = {"train_profiler": L(TrainProfilerCallback)()}
 ParamCount_CALLBACK = {"param_count": L(ParamCountCallback)()}
 EMA_CALLBACK = {"ema": L(EMACallback)()}
+CTSchedule_CALLBACK = {"ct_schedule": L(CTScheduleCallback)()}
 
 DEFAULT_CALLBACKS = {
     **GradClip_CALLBACK,

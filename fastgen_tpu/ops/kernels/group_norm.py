@@ -1,0 +1,133 @@
+"""Pallas TPU fused GroupNorm (optionally + SiLU).
+
+Profiling the EDM CIFAR UNet forward on v5e showed GroupNorm at ~33% of
+wall-clock (fp32 statistics force XLA into multiple HBM passes over the NHWC
+activations). This kernel does one read + one write per tensor: per-(batch,
+group) mean/variance computed in fp32 in VMEM, then normalize + affine
+(+ SiLU) on the way out.
+
+Forward-only kernel with a custom VJP that recomputes through the XLA
+reference for the backward (training-path GN backward is a small fraction of
+step time; sampling/inference gets the full win).
+
+Layout contract: x is [B, N, C] (callers flatten spatial dims); channels are
+grouped as C = G * Cg with channels-last grouping (matching
+``EDMGroupNorm``'s reshape semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float,
+               with_silu: bool):
+    x = x_ref[0].astype(jnp.float32)             # [N, C]
+    n, c = x.shape
+    cg = c // num_groups
+    # Mosaic cannot reshape the 128-lane channel axis into (G, Cg) sublanes;
+    # compute group statistics with a channel->group one-hot matmul instead
+    # (rides the MXU, keeps the lane dim intact).
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    m = (ch // cg == grp).astype(jnp.float32)    # [C, G]
+
+    s1 = jnp.sum(x, axis=0, keepdims=True)       # [1, C]
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    denom = float(n * cg)
+    g_mean = jax.lax.dot_general(s1, m, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) / denom
+    g_msq = jax.lax.dot_general(s2, m, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) / denom
+    g_rstd = jax.lax.rsqrt(g_msq - g_mean * g_mean + eps)    # [1, G]
+    mean_c = jax.lax.dot_general(g_mean, m, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [1, C]
+    rstd_c = jax.lax.dot_general(g_rstd, m, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    y = (x - mean_c) * rstd_c * scale_ref[0].astype(jnp.float32) \
+        + bias_ref[0].astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _gn_forward(x, scale, bias, num_groups, eps, with_silu, interpret=False):
+    b, n, c = x.shape
+    return pl.pallas_call(
+        functools.partial(_gn_kernel, num_groups=num_groups, eps=eps,
+                          with_silu=with_silu),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
+        interpret=interpret,
+    )(x, scale[None], bias[None])
+
+
+def _gn_reference(x, scale, bias, num_groups, eps, with_silu):
+    b, n, c = x.shape
+    cg = c // num_groups
+    x32 = x.astype(jnp.float32).reshape(b, n, num_groups, cg)
+    mean = x32.mean(axis=(1, 3), keepdims=True)
+    var = x32.var(axis=(1, 3), keepdims=True)
+    y = ((x32 - mean) * jax.lax.rsqrt(var + eps)).reshape(b, n, c)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if with_silu:
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_core(x, scale, bias, num_groups, eps, with_silu, interpret):
+    return _gn_forward(x, scale, bias, num_groups, eps, with_silu, interpret)
+
+
+def _gn_fwd(x, scale, bias, num_groups, eps, with_silu, interpret):
+    return (_gn_forward(x, scale, bias, num_groups, eps, with_silu, interpret),
+            (x, scale, bias))
+
+
+def _gn_bwd(num_groups, eps, with_silu, interpret, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _gn_reference(x_, s_, b_, num_groups, eps, with_silu),
+        x, scale, bias)
+    return vjp(g)
+
+
+_gn_core.defvjp(_gn_fwd, _gn_bwd)
+
+
+def fused_group_norm(x, scale, bias, num_groups: int, eps: float = 1e-5,
+                     with_silu: bool = False, interpret: bool = False):
+    """Fused GroupNorm(+SiLU) over channels-last input of any spatial rank.
+
+    x: [B, ...spatial, C]; scale/bias: [C]. Statistics per (batch, group) in
+    fp32. Falls back to the XLA reference when the per-sample activation
+    cannot fit comfortably in VMEM or shapes are kernel-unfriendly.
+    """
+    orig_shape = x.shape
+    b, c = x.shape[0], x.shape[-1]
+    n = int(np.prod(x.shape[1:-1]))
+    assert c % num_groups == 0
+    sample_bytes = n * c * x.dtype.itemsize
+    kernel_ok = (sample_bytes <= 8 * 2**20 and c % 128 == 0
+                 and n % 8 == 0)
+    x3 = x.reshape(b, n, c)
+    if kernel_ok:
+        out = _gn_core(x3, scale, bias, num_groups, eps, with_silu, interpret)
+    else:
+        out = _gn_reference(x3, scale, bias, num_groups, eps, with_silu)
+    return out.reshape(orig_shape)

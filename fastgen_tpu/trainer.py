@@ -32,6 +32,7 @@ from fastgen_tpu.utils import instantiate
 from fastgen_tpu.utils import logging_utils as logger
 from fastgen_tpu.utils.autoresume import NoOpAutoResume
 from fastgen_tpu.utils.checkpointer import Checkpointer
+from fastgen_tpu.utils.global_vars import set_global_vars, temporary_global_vars
 
 
 class Trainer:
@@ -49,6 +50,7 @@ class Trainer:
         self.mesh = mesh_lib.mesh_from_trainer_config(config.trainer)
         jax.config.update("jax_default_matmul_precision",
                           config.trainer.matmul.matmul_precision)
+        set_global_vars(config.trainer.global_vars)
         logger.info(f"Mesh: {dict(self.mesh.shape)} over {len(jax.devices())} devices")
 
     # ------------------------------------------------------------------ setup
@@ -192,9 +194,15 @@ class Trainer:
     # ------------------------------------------------------------ validation
     def validate(self, model, state, iteration: int) -> None:
         """Generate student samples (+ optionally teacher) for visual/metric
-        hooks (ref ``trainer.py:341-372``)."""
+        hooks, once per global-vars validation variant
+        (ref ``trainer.py:341-372``)."""
+        for idx, variant in enumerate(self.config.trainer.global_vars_val or [None]):
+            with temporary_global_vars(variant):
+                self._validate_once(model, state, iteration, idx)
+
+    def _validate_once(self, model, state, iteration: int, idx: int = 0) -> None:
         cb = self.callbacks
-        cb.on_validation_begin(model, state=state, iteration=iteration)
+        cb.on_validation_begin(model, state=state, iteration=iteration, idx=idx)
         try:
             sample_key = jax.random.PRNGKey(self.config.trainer.val_seed
                                             or self.config.trainer.seed)
@@ -214,10 +222,10 @@ class Trainer:
                 student_sample_type=self.config.model.student_sample_type)
             outputs = {"gen_rand": np.asarray(gen), "input_rand": np.asarray(noise)}
             cb.on_validation_step_end(model, state=state, outputs=outputs,
-                                      iteration=iteration)
+                                      iteration=iteration, idx=idx)
         except Exception as e:
             logger.warning(f"validation sampling failed: {e}")
-        cb.on_validation_end(model, state=state, iteration=iteration)
+        cb.on_validation_end(model, state=state, iteration=iteration, idx=idx)
 
     def _ema_or_net_params(self, model, state):
         if state.ema:
