@@ -25,6 +25,9 @@ def main():
     if os.environ.get("FASTGEN_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
+    if os.environ.get("FASTGEN_BENCH") == "wan":
+        return bench_wan()
+
     from fastgen_tpu.configs.net import EDM_CIFAR10_Config
     from fastgen_tpu.configs.methods.config_dmd2 import create_config
     from fastgen_tpu.utils import instantiate
@@ -106,6 +109,51 @@ def main():
         "value": round(samples_per_sec, 2),
         "unit": "samples/sec",
         "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+def bench_wan():
+    """Secondary metric: CausalWan-1.3B denoise steps/sec (one 480p-latent
+    denoise forward of the full 21-frame clip, bf16, batch 1)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastgen_tpu.configs.net import CausalWan_1_3B_Config
+    from fastgen_tpu.utils import instantiate
+
+    net = instantiate(CausalWan_1_3B_Config)
+    key = jax.random.PRNGKey(0)
+    dtype = jnp.bfloat16
+    b = int(os.environ.get("FASTGEN_BENCH_BATCH", "1"))
+    x = jax.random.normal(key, (b, 21, 60, 104, 16), dtype)
+    t = jnp.full((b,), 0.9, jnp.float32)
+    cond = {"text_embeds": jax.random.normal(key, (b, 512, 4096), dtype)}
+    params = net.init({"params": key}, x[:, :3], t, condition=cond)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params)
+
+    fn = jax.jit(lambda p, x, t, c: net.apply(p, x, t, condition=c,
+                                              fwd_pred_type="x0", causal=True))
+
+    def sync(o):
+        return float(jnp.sum(o[0, 0, 0, 0]))
+
+    out = fn(params, x, t, cond)
+    sync(out)
+    reps = int(os.environ.get("FASTGEN_BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    prev = x
+    for i in range(reps):
+        prev = fn(params, prev, t, cond)
+    sync(prev)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": "CausalWan-1.3B 21f@480p denoise steps/sec/chip (bf16, block-causal)",
+        "value": round(b / dt, 3),
+        "unit": "denoise steps/sec",
+        "vs_baseline": 1.0,
     }))
 
 

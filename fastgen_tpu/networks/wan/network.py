@@ -251,37 +251,55 @@ class WanBlock(nn.Module):
             lambda key, shape: jax.random.normal(key, shape) / shape[-1] ** 0.5,
             (1, 6, self.dim))
 
-    def _mod_params(self, temb, frame_seqlen, n_tokens):
-        """temb: [B, F, 6, D] per-frame -> 6 params of [B, N, D] (expanded)."""
-        b, f, six, d = temb.shape
+    def _mod_params(self, temb):
+        """temb: [B, F, 6, D] -> 6 per-frame params [B, F, D] (fp32).
+
+        Applied by broadcasting over each frame's tokens — NEVER expanded to
+        [B, N, D]: at 21x1560 tokens that materialization is 1.1 GB fp32 per
+        block and OOMs a v5e."""
         table = self.scale_shift_table[:, None]  # [1, 1, 6, D]
-        params = (table + temb.astype(jnp.float32))  # [B, F, 6, D]
-        params = jnp.repeat(params, frame_seqlen, axis=1)  # [B, N, 6, D]
+        params = table + temb.astype(jnp.float32)  # [B, F, 6, D]
         return [params[:, :, i, :] for i in range(6)]
+
+    @staticmethod
+    def _mod(x_tokens, scale, shift):
+        """x [B, N, D] fp32; scale/shift [B, F, D] broadcast per frame."""
+        b, n, d = x_tokens.shape
+        f = scale.shape[1]
+        xv = x_tokens.reshape(b, f, n // f, d)
+        out = xv * (1 + scale[:, :, None]) + shift[:, :, None]
+        return out.reshape(b, n, d)
+
+    @staticmethod
+    def _gate(x_tokens, gate):
+        b, n, d = x_tokens.shape
+        f = gate.shape[1]
+        xv = x_tokens.reshape(b, f, n // f, d)
+        return (xv * gate[:, :, None]).reshape(b, n, d)
 
     def __call__(self, x, temb, context, rope, frame_seqlen, causal_block=None,
                  self_cache=None, start_token=None, cross_kv=None,
                  store_kv: bool = True):
         (shift_msa, scale_msa, gate_msa,
-         c_shift, c_scale, c_gate) = self._mod_params(temb, frame_seqlen, x.shape[1])
+         c_shift, c_scale, c_gate) = self._mod_params(temb)
 
         xf = x.astype(jnp.float32)
-        norm_x = (self.norm1(xf) * (1 + scale_msa) + shift_msa).astype(x.dtype)
+        norm_x = self._mod(self.norm1(xf), scale_msa, shift_msa).astype(x.dtype)
         if self_cache is not None:
             attn_out, new_cache = self.attn1.cached(norm_x, rope, self_cache,
                                                     start_token, store_kv=store_kv)
         else:
             attn_out = self.attn1(norm_x, rope=rope, causal_block=causal_block)
             new_cache = None
-        x = (xf + attn_out.astype(jnp.float32) * gate_msa).astype(x.dtype)
+        x = (xf + self._gate(attn_out.astype(jnp.float32), gate_msa)).astype(x.dtype)
 
         norm_x = self.norm2(x.astype(jnp.float32)).astype(x.dtype)
         x = x + self.attn2(norm_x, context=context, cached_kv=cross_kv)
 
         xf = x.astype(jnp.float32)
-        norm_x = (self.norm3(xf) * (1 + c_scale) + c_shift).astype(x.dtype)
+        norm_x = self._mod(self.norm3(xf), c_scale, c_shift).astype(x.dtype)
         ff = self.ffn(norm_x)
-        x = (xf + ff.astype(jnp.float32) * c_gate).astype(x.dtype)
+        x = (xf + self._gate(ff.astype(jnp.float32), c_gate)).astype(x.dtype)
         return x, new_cache
 
 

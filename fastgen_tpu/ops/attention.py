@@ -58,8 +58,6 @@ def dot_product_attention(q, k, v, bias=None, mask=None, scale=None,
     if use_flash:
         from fastgen_tpu.ops.kernels.flash_attention import flash_attention
 
-        # kernel block sizes need divisibility; fall back if ragged
-        if n % 256 == 0:
-            return flash_attention(q, k, v, scale=scale, causal_block=causal_block)
+        return flash_attention(q, k, v, scale=scale, causal_block=causal_block)
     return _xla_attention(q, k, v, bias=bias, mask=mask, scale=scale,
                           causal_block=causal_block)

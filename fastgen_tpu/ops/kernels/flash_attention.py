@@ -32,7 +32,8 @@ NEG_INF = -1e30
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
                       *, scale: float, block_q: int, block_k: int,
-                      causal_block: Optional[int], seq_len: int):
+                      causal_block: Optional[int], seq_len: int,
+                      valid_len: int):
     ki = pl.program_id(2)
     num_k = pl.num_programs(2)
 
@@ -50,13 +51,16 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scra
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
         if causal_block is not None:
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
-            k_pos = ki * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1)
             allowed = (k_pos // causal_block) <= (q_pos // causal_block)
             s = jnp.where(allowed, s, NEG_INF)
+        if valid_len != seq_len:
+            # sequence padded up to the block size: mask padded keys
+            s = jnp.where(k_pos < valid_len, s, NEG_INF)
 
         m_prev = m_scratch[:]                        # [block_q, 1]
         l_prev = l_scratch[:]
@@ -88,24 +92,23 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scra
 
 def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
                    interpret: bool = False):
-    """q,k,v: [BH, N, D] -> out [BH, N, D]."""
+    """q,k,v: [BH, N, D] -> out [BH, N, D]. Ragged N is zero-padded up to the
+    block size; padded keys are masked analytically, padded query rows are
+    sliced off."""
     bh, n, d = q.shape
-
-    def fit(block):
-        block = min(block, n)
-        while n % block:
-            block //= 2
-        return max(block, 8)
-
-    block_q = fit(block_q)
-    block_k = fit(block_k)
-    assert n % block_q == 0 and n % block_k == 0, (
-        f"seq len {n} must be divisible by block sizes ({block_q},{block_k})")
-    grid = (bh, n // block_q, n // block_k)
+    block_q = min(block_q, max(8, n))
+    block_k = min(block_k, max(8, n))
+    n_pad = -(-n // max(block_q, block_k)) * max(block_q, block_k)
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    grid = (bh, n_pad // block_q, n_pad // block_k)
 
     kernel = functools.partial(
         _flash_fwd_kernel, scale=scale, block_q=block_q, block_k=block_k,
-        causal_block=causal_block, seq_len=n)
+        causal_block=causal_block, seq_len=n_pad, valid_len=n)
 
     return pl.pallas_call(
         kernel,
@@ -116,14 +119,14 @@ def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, v)[:, :n]
 
 
 def _xla_reference(q, k, v, scale, causal_block):
