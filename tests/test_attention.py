@@ -85,3 +85,15 @@ def test_dispatcher_mask_and_bias():
     out_b = dot_product_attention(q, k, v, impl="xla", bias=bias)
     out_nb = dot_product_attention(q, k, v, impl="xla")
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_nb), rtol=1e-6)
+
+
+@pytest.mark.parametrize("n,causal_block", [(300, None), (300, 100), (520, 130)])
+def test_flash_ragged_padding(n, causal_block):
+    """Non-block-divisible sequence lengths pad internally and mask padded keys."""
+    b, h, d = 2, 2, 32
+    q, k, v = [jax.random.normal(jax.random.fold_in(KEY, i), (b, n, h, d))
+               for i in range(3)]
+    out = flash_attention(q, k, v, causal_block=causal_block, interpret=True,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v, causal_block)),
+                               rtol=2e-5, atol=2e-5)
