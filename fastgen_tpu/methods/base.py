@@ -198,9 +198,24 @@ class FastGenModel:
     def example_batch(self, batch_size: int = 1) -> Dict[str, Any]:
         """Synthetic batch matching the data contract, for shape inference."""
         x = jnp.zeros((batch_size,) + self.input_shape, self.precision)
-        label_dim = getattr(self.nets["net"], "label_dim", 0)
-        cond = jnp.zeros((batch_size, label_dim), self.precision) if label_dim else None
+        cond = self.example_condition(batch_size)
         return {"real": x, "condition": cond, "neg_condition": cond}
+
+    def example_condition(self, batch_size: int):
+        """Condition matching the net's contract: one-hot labels for
+        class-conditional nets, zero text embeddings for text-conditioned
+        ones, None otherwise (used for shape inference and validation
+        sampling when no val loader is configured)."""
+        net = self.nets["net"]
+        label_dim = getattr(net, "label_dim", 0)
+        if label_dim:
+            return jax.nn.one_hot(jnp.arange(batch_size) % label_dim, label_dim,
+                                  dtype=self.precision)
+        text_dim = getattr(net, "text_dim", 0)
+        if text_dim:
+            return {"text_embeds": jnp.zeros((batch_size, 1, text_dim),
+                                             self.precision)}
+        return None
 
     def init_order(self) -> Tuple[str, ...]:
         """Init order: nets that others depend on (teacher feature shapes for

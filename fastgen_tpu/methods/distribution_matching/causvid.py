@@ -9,15 +9,13 @@ explicit KV-cache pytrees (ref ``causvid.py:87-185``).
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from fastgen_tpu.methods.base import convert_cfg_to_dict
 from fastgen_tpu.methods.distribution_matching.dmd2 import DMD2Model
-from fastgen_tpu.utils import logging_utils as logger
 
 
 def chunk_schedule(num_frames: int, chunk_size: int):
@@ -79,16 +77,34 @@ class CausVidModel(DMD2Model):
         cache = net.init_cache(batch_size, dtype=x.dtype, max_frames=num_frames)
         cross_kv = net.apply(params_net, condition, method=net.precompute_cross_kv)
 
+        # one compiled program per distinct chunk WIDTH (start_frame is traced,
+        # so all same-width chunks share the executable); cached per loop call
+        denoise_fns = {}
+        store_fns = {}
+
+        def get_fns(width):
+            if width not in denoise_fns:
+                denoise_fns[width] = jax.jit(functools.partial(
+                    net.apply, method=net.forward_chunk, fwd_pred_type="x0",
+                    store_kv=False))
+                # donate the cache so the updated cache aliases the old
+                # buffers (a full-length cache is ~6 GB for Wan-1.3B@480p;
+                # without donation both live across the store pass -> OOM)
+                store_fns[width] = jax.jit(functools.partial(
+                    net.apply, method=net.forward_chunk, fwd_pred_type="x0",
+                    store_kv=True), donate_argnums=3)
+            return denoise_fns[width], store_fns[width]
+
         out_chunks = []
         for (start, end) in spans:
+            denoise, store = get_fns(end - start)
+            start_t = jnp.asarray(start, jnp.int32)
             x_next = x[:, start:end]
             for step, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
                 t_b = jnp.full((batch_size,), float(t_cur), jnp.float32)
                 x_cur = x_next
-                x_next, _ = net.apply(
-                    params_net, x_cur, t_b, cache, start, condition=condition,
-                    cross_kv=cross_kv, fwd_pred_type="x0", store_kv=False,
-                    method=net.forward_chunk)
+                x_next, _ = denoise(params_net, x_cur, t_b, cache, start_t,
+                                    condition=condition, cross_kv=cross_kv)
                 if float(t_next) > 0:
                     tn_b = jnp.full((batch_size,), float(t_next), jnp.float32)
                     if student_sample_type == "sde":
@@ -109,10 +125,8 @@ class CausVidModel(DMD2Model):
                 t_cache = jnp.full((batch_size,), context_noise, jnp.float32)
                 x_cache = ns.forward_process(
                     x_next, jax.random.normal(sub, x_next.shape, x_next.dtype), t_cache)
-            _, cache = net.apply(
-                params_net, x_cache, t_cache, cache, start, condition=condition,
-                cross_kv=cross_kv, fwd_pred_type="x0", store_kv=True,
-                method=net.forward_chunk)
+            _, cache = store(params_net, x_cache, t_cache, cache, start_t,
+                             condition=condition, cross_kv=cross_kv)
 
         return jnp.concatenate(out_chunks, axis=1)
 

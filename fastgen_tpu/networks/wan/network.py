@@ -23,8 +23,7 @@ monkey-patches its forward; here the backbone is built from scratch:
 
 from __future__ import annotations
 
-import dataclasses
-import math
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
@@ -35,7 +34,6 @@ import flax.linen as nn
 from fastgen_tpu.networks.network import CausalFastGenNetwork, FastGenNetwork
 from fastgen_tpu.ops.attention import dot_product_attention
 from fastgen_tpu.ops.schedules import NET_PRED_TYPES
-from fastgen_tpu.utils import expand_like
 
 
 class RMSNorm(nn.Module):
@@ -162,11 +160,20 @@ class WanSelfAttention(nn.Module):
         new_v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
                                              (0, start_token, 0, 0))
         n_chunk = x.shape[1]
-        max_tokens = cache["k"].shape[1]
-        valid = jnp.arange(max_tokens) < (start_token + n_chunk)
-        mask = valid[None, None, None, :]  # [1,1,1,K] broadcasts over B,H,Q
-        out = dot_product_attention(q, new_k.astype(q.dtype), new_v.astype(q.dtype),
-                                    mask=mask, impl="xla")
+        valid_len = start_token + n_chunk
+        impl = self.attn_impl or os.environ.get("FASTGEN_ATTN_IMPL", "auto")
+        if impl != "xla" and jax.default_backend() == "tpu":
+            # flash decode kernel: no [Nq, Nkv] logits materialization
+            # (6.9 GB at 21f 480p with the masked-dense path)
+            from fastgen_tpu.ops.kernels.flash_attention import flash_decode_attention
+
+            out = flash_decode_attention(q, new_k.astype(q.dtype),
+                                         new_v.astype(q.dtype), valid_len)
+        else:
+            max_tokens = cache["k"].shape[1]
+            mask = jnp.arange(max_tokens)[None, None, None, :] < valid_len
+            out = dot_product_attention(q, new_k.astype(q.dtype),
+                                        new_v.astype(q.dtype), mask=mask, impl="xla")
         b, n, h, d = out.shape
         out = self.to_out(out.reshape(b, n, h * d))
         if store_kv:
@@ -567,23 +574,30 @@ class CausalWanVideoDiT(WanVideoDiT, CausalFastGenNetwork):
         context = self._embed_text(text_embeds)
         return [blk.attn2.kv(context) for blk in self.blocks]
 
-    def forward_chunk(self, x_chunk, t, cache, start_frame: int,
+    def forward_chunk(self, x_chunk, t, cache, start_frame,
                       condition=None, cross_kv=None,
                       fwd_pred_type: Optional[str] = None,
                       store_kv: bool = True, **kwargs):
         """One AR chunk: x_chunk [B, T_chunk, H, W, C]; returns (out, cache).
 
-        ``start_frame`` is a static int (chunk schedule is a static unrolled
-        loop, matching the reference's per-chunk python loop with fixed
-        shapes); cache writes use dynamic_update_slice at the derived offset.
+        ``start_frame`` may be a traced int32 — the RoPE table for the full
+        ``total_num_frames`` grid is built once and sliced dynamically, so a
+        single compiled program serves every chunk position (the reference
+        recomputes RoPE per chunk on host, ``network_causal.py:79-128``).
+        Cache writes use dynamic_update_slice at the derived offset.
         """
         b = x_chunk.shape[0]
         tokens, grid = self._patchify(x_chunk)
         f, hp, wp = grid
         frame_seqlen = hp * wp
+        start_frame = jnp.asarray(start_frame, jnp.int32)
         start_token = start_frame * frame_seqlen
-        cos, sin = _build_rope(self._rope_tables, self._rope_splits, f, hp, wp,
-                               start_frame=start_frame)
+        cos_full, sin_full = _build_rope(
+            self._rope_tables, self._rope_splits,
+            max(self.total_num_frames, f), hp, wp)
+        n_chunk = f * frame_seqlen
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, start_token, n_chunk, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, start_token, n_chunk, axis=0)
 
         t_frames = self._per_frame_t(t, f)
         temb, timestep_proj = self._time_embeds(self.condition_embedder, t_frames)
@@ -620,7 +634,10 @@ class CausalWanVideoDiT(WanVideoDiT, CausalFastGenNetwork):
 
         if store_kv:
             new_cache = {"self": new_self, "cross": cache.get("cross"),
-                         "len": jnp.asarray(start_token + f * frame_seqlen, jnp.int32)}
+                         "len": (start_token + f * frame_seqlen).astype(jnp.int32)}
         else:
-            new_cache = cache
+            # denoise pass: do NOT return the cache — an undonated input
+            # echoed as a jit output forces XLA to copy the full cache
+            # (~6 GB for Wan-1.3B@480p) on every denoising step
+            new_cache = None
         return out, new_cache

@@ -128,6 +128,8 @@ class Trainer:
         base_key = jax.random.PRNGKey(cfg.seed)
         loss_map_host: Dict[str, Any] = {}
         outputs = None
+        # resumed at/past max_iter -> loop body never runs; keep hooks valid
+        iteration = iter_start
         for iteration in range(iter_start + 1, cfg.max_iter + 1):
             cb.on_training_step_begin(model, state=state, iteration=iteration)
             phase = model.phase_for_iteration(iteration)
@@ -209,11 +211,7 @@ class Trainer:
             n = min(16, 8 * max(1, len(jax.devices())))
             noise = jax.random.normal(sample_key, (n,) + model.input_shape,
                                       model.precision)
-            label_dim = getattr(model.net, "label_dim", 0)
-            cond = None
-            if label_dim:
-                cond = jax.nn.one_hot(jnp.arange(n) % label_dim, label_dim,
-                                      dtype=model.precision)
+            cond = model.example_condition(n)
             params_net = self._ema_or_net_params(model, state)
             gen = model.generator_fn(
                 params_net, noise, rng=sample_key, condition=cond,

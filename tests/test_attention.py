@@ -7,7 +7,9 @@ import jax.numpy as jnp
 import pytest
 
 from fastgen_tpu.ops.attention import _xla_attention, dot_product_attention
-from fastgen_tpu.ops.kernels.flash_attention import _xla_reference, flash_attention
+from fastgen_tpu.ops.kernels.flash_attention import (
+    _xla_decode_reference, _xla_reference, flash_attention,
+    flash_decode_attention)
 
 KEY = jax.random.PRNGKey(0)
 
@@ -85,6 +87,57 @@ def test_dispatcher_mask_and_bias():
     out_b = dot_product_attention(q, k, v, impl="xla", bias=bias)
     out_nb = dot_product_attention(q, k, v, impl="xla")
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_nb), rtol=1e-6)
+
+
+def _decode_ref(q, k, v, valid_len):
+    b, nq, h, d = q.shape
+    nkv = k.shape[1]
+    to = lambda x, n: x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    out = _xla_decode_reference(to(q, nq), to(k, nkv), to(v, nkv), valid_len,
+                                1 / np.sqrt(d))
+    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("nq,nkv,valid", [(96, 512, 96), (96, 512, 288),
+                                          (120, 600, 600), (64, 520, 130)])
+def test_flash_decode_matches_masked_dense(nq, nkv, valid):
+    """KV-cache decode attention == masked dense for traced valid lengths."""
+    b, h, d = 2, 3, 32
+    q = jax.random.normal(jax.random.fold_in(KEY, 10), (b, nq, h, d))
+    k = jax.random.normal(jax.random.fold_in(KEY, 11), (b, nkv, h, d))
+    v = jax.random.normal(jax.random.fold_in(KEY, 12), (b, nkv, h, d))
+    vl = jnp.asarray(valid, jnp.int32)
+    out = flash_decode_attention(q, k, v, vl, interpret=True,
+                                 block_q=64, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_decode_ref(q, k, v, vl)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode_ignores_invalid_keys():
+    """Garbage beyond valid_len must not leak into the output."""
+    b, h, d, nq, nkv = 1, 2, 32, 64, 384
+    q = jax.random.normal(jax.random.fold_in(KEY, 13), (b, nq, h, d))
+    k = jax.random.normal(jax.random.fold_in(KEY, 14), (b, nkv, h, d))
+    v = jax.random.normal(jax.random.fold_in(KEY, 15), (b, nkv, h, d))
+    vl = jnp.asarray(128, jnp.int32)
+    out1 = flash_decode_attention(q, k, v, vl, interpret=True, block_k=128)
+    k2 = k.at[:, 128:].set(999.0)
+    v2 = v.at[:, 128:].set(999.0)
+    out2 = flash_decode_attention(q, k2, v2, vl, interpret=True, block_k=128)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+
+def test_flash_decode_grad_matches_dense():
+    b, h, d, nq, nkv = 1, 2, 32, 48, 256
+    q = jax.random.normal(jax.random.fold_in(KEY, 16), (b, nq, h, d))
+    k = jax.random.normal(jax.random.fold_in(KEY, 17), (b, nkv, h, d))
+    v = jax.random.normal(jax.random.fold_in(KEY, 18), (b, nkv, h, d))
+    vl = jnp.asarray(160, jnp.int32)
+
+    g1 = jax.grad(lambda q_: (flash_decode_attention(q_, k, v, vl, interpret=True,
+                                                     block_k=128) ** 2).sum())(q)
+    g2 = jax.grad(lambda q_: (_decode_ref(q_, k, v, vl) ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
 
 
 @pytest.mark.parametrize("n,causal_block", [(300, None), (300, 100), (520, 130)])

@@ -103,17 +103,18 @@ def test_ar_cache_matches_parallel(setup):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_store_kv_false_leaves_cache(setup):
+def test_store_kv_false_returns_no_cache(setup):
+    """Denoise passes must not echo the cache through jit (a 6 GB copy at
+    Wan-1.3B@480p scale) — store_kv=False returns None for the cache slot."""
     _, cnet, _, cparams = setup
     x, t, cond = inputs()
     cache = cnet.init_cache(2, dtype=jnp.float32)
     cross_kv = cnet.apply(cparams, cond, method=cnet.precompute_cross_kv)
-    _, cache2 = cnet.apply(cparams, x[:, :2], t[:, None].repeat(2, 1), cache, 0,
-                           condition=cond, cross_kv=cross_kv, store_kv=False,
-                           method=cnet.forward_chunk)
-    for a, b in zip(jax.tree_util.tree_leaves(cache),
-                    jax.tree_util.tree_leaves(cache2)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out, cache2 = cnet.apply(cparams, x[:, :2], t[:, None].repeat(2, 1), cache, 0,
+                             condition=cond, cross_kv=cross_kv, store_kv=False,
+                             method=cnet.forward_chunk)
+    assert cache2 is None
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_rope_offset_changes_output(setup):
