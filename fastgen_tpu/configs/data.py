@@ -6,6 +6,7 @@ import os
 
 from fastgen_tpu.configs.lazy import LazyCall as L
 from fastgen_tpu.data.class_cond_dataloader import ImageLoader, SyntheticLoader
+from fastgen_tpu.data.wds import WDSLoader
 
 OUTPUT_ROOT = os.environ.get("FASTGEN_OUTPUT_ROOT", "FASTGEN_OUTPUT")
 DATA_ROOT_DIR = os.getenv("DATA_ROOT_DIR", f"{OUTPUT_ROOT}/DATA")
@@ -26,6 +27,20 @@ ImageNet64_Loader_Config = L(ImageLoader)(
     use_labels=True,
     cache=False,
     shuffle=True,
+)
+
+# KD loaders (ref ``configs/data.py:60-82``): single-step pairs and multi-step
+# denoising trajectories from precomputed WDS shards.
+Pair_Loader_Config = L(WDSLoader)(
+    datatags=["WDS:/path/to/pairs"],
+    batch_size=2,
+    key_map={"real": "latent.npy", "noise": "noise.npy", "condition": "txt_emb.npy"},
+)
+
+Path_Loader_Config = L(WDSLoader)(
+    datatags=["WDS:/path/to/paths"],
+    batch_size=2,
+    key_map={"real": "latent.npy", "path": "path.npy", "condition": "txt_emb.npy"},
 )
 
 # Synthetic loader for smoke tests / benchmarks (no files needed)

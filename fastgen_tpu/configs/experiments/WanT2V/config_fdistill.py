@@ -1,0 +1,39 @@
+"""f-distill on Wan-1.3B T2V (ref
+``configs/experiments/WanT2V/config_fdistill.py``): JS divergence weighting."""
+
+from __future__ import annotations
+
+import copy
+
+from fastgen_tpu.configs.discriminator import Discriminator_Wan_Config
+from fastgen_tpu.configs.lazy import LazyCall as L
+from fastgen_tpu.configs.methods.config_f_distill import (
+    create_config as create_f_distill_config)
+from fastgen_tpu.configs.net import Wan_1_3B_Config
+from fastgen_tpu.data.wds import VideoWDSLoader
+
+
+def create_config():
+    config = create_f_distill_config()
+    config.log_config.group = "wan_t2v"
+    config.log_config.name = "f_distill_wan1_3b"
+    config.model.net = copy.deepcopy(Wan_1_3B_Config)
+    config.model.discriminator = copy.deepcopy(Discriminator_Wan_Config)
+    config.model.input_shape = [21, 60, 104, 16]
+    config.model.f_distill.f_div = "js"
+    config.model.gan_loss_weight_gen = 0.001
+    config.model.guidance_scale = 5.0
+    config.model.net_optimizer.lr = 5e-5
+    config.model.fake_score_optimizer.lr = 5e-5
+    config.model.discriminator_optimizer.lr = 5e-5
+    config.model.sample_t_cfg.time_dist_type = "uniform"
+    config.model.sample_t_cfg.min_t = 0.001
+    config.model.sample_t_cfg.max_t = 0.999
+    config.model.precision_amp = "bfloat16"
+    config.dataloader_train = L(VideoWDSLoader)(
+        datatags=["WDS:/path/to/wan_video_latents"], batch_size=1,
+        sequence_length=81,
+        key_map={"real": "latent.npy", "condition": "txt_emb.npy"})
+    config.trainer.fsdp = True
+    config.trainer.batch_size_global = 64
+    return config

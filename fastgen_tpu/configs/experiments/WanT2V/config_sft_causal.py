@@ -1,0 +1,37 @@
+"""Causal SFT on CausalWan-1.3B (ref
+``configs/experiments/WanT2V/config_sft_causal.py``): diffusion-forcing
+per-chunk inhomogeneous t, warm-start for CausVid/Self-Forcing."""
+
+from __future__ import annotations
+
+import copy
+
+from fastgen_tpu.configs.lazy import LazyCall as L
+from fastgen_tpu.configs.methods.config_sft import (
+    create_causal_config as create_causal_sft_config)
+from fastgen_tpu.configs.net import CausalWan_1_3B_Config
+from fastgen_tpu.data.wds import VideoWDSLoader
+
+
+def create_config():
+    config = create_causal_sft_config()
+    config.log_config.group = "wan_t2v"
+    config.log_config.name = "sft_causal_wan1_3b"
+    config.model.net = copy.deepcopy(CausalWan_1_3B_Config)
+    config.model.net.total_num_frames = 21
+    config.model.input_shape = [21, 60, 104, 16]
+    config.model.net_optimizer.lr = 5e-5
+    config.model.guidance_scale = 5.0
+    config.model.student_sample_steps = 50
+    config.model.sample_t_cfg.time_dist_type = "uniform"
+    config.model.sample_t_cfg.min_t = 0.001
+    config.model.sample_t_cfg.max_t = 0.999
+    config.model.precision_amp = "bfloat16"
+    config.dataloader_train = L(VideoWDSLoader)(
+        datatags=["WDS:/path/to/wan_video_latents"], batch_size=1,
+        sequence_length=81,
+        key_map={"real": "latent.npy", "condition": "txt_emb.npy"})
+    config.trainer.fsdp = True
+    config.trainer.max_iter = 5000
+    config.trainer.batch_size_global = 32
+    return config

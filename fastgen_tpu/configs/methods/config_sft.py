@@ -13,7 +13,7 @@ from fastgen_tpu.configs.data import CIFAR10_Loader_Config
 from fastgen_tpu.configs.lazy import LazyCall as L
 from fastgen_tpu.configs.net import EDM_CIFAR10_Config
 from fastgen_tpu.configs.opt import BaseOptimizerConfig, BaseSchedulerConfig
-from fastgen_tpu.methods.fine_tuning.sft import SFTModel
+from fastgen_tpu.methods.fine_tuning.sft import CausalSFTModel, SFTModel
 
 
 @attrs.define(slots=False)
@@ -36,4 +36,11 @@ def create_config() -> Config:
     config = Config()
     config.trainer.callbacks = dict(DEFAULT_CALLBACKS)
     config.dataloader_train = copy.deepcopy(CIFAR10_Loader_Config)
+    return config
+
+
+def create_causal_config() -> Config:
+    """Diffusion-forcing SFT (ref ``fine_tuning/sft.py:164``)."""
+    config = create_config()
+    config.model_class = L(CausalSFTModel)(config=None)
     return config

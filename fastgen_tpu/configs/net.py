@@ -168,6 +168,12 @@ EDM2_IN64_S_Config = L(build_edm2)(
     channel_mult=[1, 2, 3, 4], channel_mult_noise=None, channel_mult_emb=None,
     num_blocks=3, attn_resolutions=[16, 8], dropout=0.0)
 
+EDM2_IN64_XL_Config = L(build_edm2)(
+    img_resolution=64, img_channels=3, label_dim=1000, sigma_data=0.5,
+    sigma_shift=0.0, logvar_channels=128, model_channels=448,
+    channel_mult=[1, 2, 3, 4], channel_mult_noise=None, channel_mult_emb=None,
+    num_blocks=3, attn_resolutions=[16, 8], dropout=0.0)
+
 EDM2_Test_Config = L(build_edm2)(
     img_resolution=16, img_channels=3, label_dim=10, sigma_data=0.5,
     logvar_channels=32, model_channels=16, channel_mult=[1, 2], num_blocks=1,
@@ -261,3 +267,8 @@ CausalWanI2V_1_3B_Config = L(build_causal_wan_i2v)(
 VACEWan_1_3B_Config = L(build_vace_wan)(
     dim=1536, num_layers=30, num_heads=12, ffn_dim=8960, in_channels=16,
     out_channels=16, text_dim=4096, rope_max_seq_len=1024, num_vace_layers=8)
+
+CausalVACEWan_1_3B_Config = L(build_causal_vace_wan)(
+    dim=1536, num_layers=30, num_heads=12, ffn_dim=8960, in_channels=16,
+    out_channels=16, text_dim=4096, rope_max_seq_len=1024, num_vace_layers=8,
+    chunk_size=3, total_num_frames=21, frame_height=60, frame_width=104)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -73,6 +74,31 @@ class LambdaWarmUpCosineScheduler2(LambdaLinearScheduler):
         t = jnp.clip((n - warm) / denom, 0.0, 1.0)
         cos_f = self.f_min[i] + 0.5 * (self.f_max[i] - self.f_min[i]) * (1 + jnp.cos(t * jnp.pi))
         return jnp.where(n < warm, warm_f, cos_f)
+
+
+class LambdaInverseSquareRootScheduler:
+    """Warmup then 1/sqrt(1 + n/timescale) decay (ref ``lr_scheduler.py``
+    LambdaInverseSquareRootScheduler; used by the EDM2 CM/sCM/TCM recipes)."""
+
+    def __init__(self, warm_up_steps: int = 0, decay_start_step: Optional[int] = None,
+                 timescale: Optional[float] = None, f_min: float = 0.0):
+        self.warm_up_steps = warm_up_steps
+        self.decay_start = (decay_start_step if decay_start_step is not None
+                            else warm_up_steps)
+        self.timescale = float(timescale if timescale is not None
+                               else max(self.decay_start, 1))
+        self.f_min = f_min
+
+    def schedule(self, n):
+        n = jnp.asarray(n, jnp.float32)
+        warm_f = n / max(float(self.warm_up_steps), 1.0)
+        decay_f = jax.lax.rsqrt(jnp.maximum(
+            1.0 + (n - self.decay_start) / self.timescale, 1.0))
+        out = jnp.where(n < self.warm_up_steps, warm_f, jnp.maximum(decay_f, self.f_min))
+        return out
+
+    def __call__(self, n):
+        return self.schedule(n)
 
 
 class ConstantScheduler:
