@@ -7,7 +7,7 @@ object (module defs), the current ``MethodState``, loss maps, and iteration.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
 from fastgen_tpu.utils import instantiate
 from fastgen_tpu.utils import logging_utils as logger

@@ -13,7 +13,6 @@ attrs-based config dataclasses matching the reference's public surface
 
 from __future__ import annotations
 
-import copy
 import os
 from typing import Any, Dict, List, Optional
 

@@ -3,7 +3,6 @@ reference 1-step FID 2.23)."""
 
 from __future__ import annotations
 
-import copy
 
 from fastgen_tpu.configs.lazy import LazyCall as L
 from fastgen_tpu.configs.methods.config_tcm import create_config as create_tcm_config

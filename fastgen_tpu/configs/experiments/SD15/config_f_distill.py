@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import copy
 
 from fastgen_tpu.configs.experiments.SD15.config_dmd2 import (
     create_config as create_sd15_dmd2_config)

@@ -19,7 +19,6 @@ already-sharded batch, so augmentation rides the accelerator, not the host).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 import jax

@@ -24,8 +24,6 @@ TPU-native design is purely functional:
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
@@ -33,10 +31,8 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from fastgen_tpu.configs.opt import make_optimizer
-from fastgen_tpu.methods import common_loss
 from fastgen_tpu.utils import PRECISION_MAP, expand_like, instantiate
 from fastgen_tpu.utils import logging_utils as logger
 

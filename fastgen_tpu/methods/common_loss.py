@@ -7,7 +7,6 @@ the reference exactly (``common_loss.py:63-103``); gradient stopping uses
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,15 +17,12 @@ TPU-native notes:
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from fastgen_tpu.methods.base import FastGenModel, convert_cfg_to_dict
 from fastgen_tpu.utils import expand_like, instantiate
-from fastgen_tpu.utils import logging_utils as logger
 
 
 def get_edm_c_out(noise_scheduler, t, sigma_data: float = 0.5):

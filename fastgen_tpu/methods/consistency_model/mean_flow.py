@@ -9,7 +9,6 @@ difference variant (fwd/bwd/central selection) is kept for parity testing.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
 
 import numpy as np
 import jax

@@ -11,7 +11,6 @@ A finite-difference estimate is kept for parity testing (ref ``sCM.py:112-140``)
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
 
 import numpy as np
 import jax

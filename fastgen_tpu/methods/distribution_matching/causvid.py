@@ -62,6 +62,30 @@ class CausVidModel(DMD2Model):
                               causal=True, train=True, rngs={"dropout": rng})
 
     # ------------------------------------------------------------ generation
+    def _chunk_fns(self, net_key: str, width: int):
+        """(denoise, store) jitted chunk forwards, cached on the model so
+        repeated generator calls reuse the traced/compiled programs (a fresh
+        jax.jit wrapper per call would re-trace the full 30-block graph every
+        generation — ~5x wall clock at Wan-1.3B scale). One program per
+        distinct chunk WIDTH: start_frame is traced, so all same-width chunks
+        share the executable."""
+        if not hasattr(self, "_chunk_fn_cache"):
+            self._chunk_fn_cache = {}
+        key = (net_key, width)
+        if key not in self._chunk_fn_cache:
+            net = self.nets[net_key]
+            denoise = jax.jit(functools.partial(
+                net.apply, method=net.forward_chunk, fwd_pred_type="x0",
+                store_kv=False))
+            # donate the cache so the updated cache aliases the old buffers
+            # (a full-length cache is ~6 GB for Wan-1.3B@480p; without
+            # donation both live across the store pass -> OOM)
+            store = jax.jit(functools.partial(
+                net.apply, method=net.forward_chunk, fwd_pred_type="x0",
+                store_kv=True), donate_argnums=3)
+            self._chunk_fn_cache[key] = (denoise, store)
+        return self._chunk_fn_cache[key]
+
     def _student_sample_loop(self, params_net, x, t_list, rng, condition=None,
                             student_sample_type: str = "sde",
                             context_noise: float = 0.0, net_key: str = "net",
@@ -76,24 +100,7 @@ class CausVidModel(DMD2Model):
 
         cache = net.init_cache(batch_size, dtype=x.dtype, max_frames=num_frames)
         cross_kv = net.apply(params_net, condition, method=net.precompute_cross_kv)
-
-        # one compiled program per distinct chunk WIDTH (start_frame is traced,
-        # so all same-width chunks share the executable); cached per loop call
-        denoise_fns = {}
-        store_fns = {}
-
-        def get_fns(width):
-            if width not in denoise_fns:
-                denoise_fns[width] = jax.jit(functools.partial(
-                    net.apply, method=net.forward_chunk, fwd_pred_type="x0",
-                    store_kv=False))
-                # donate the cache so the updated cache aliases the old
-                # buffers (a full-length cache is ~6 GB for Wan-1.3B@480p;
-                # without donation both live across the store pass -> OOM)
-                store_fns[width] = jax.jit(functools.partial(
-                    net.apply, method=net.forward_chunk, fwd_pred_type="x0",
-                    store_kv=True), donate_argnums=3)
-            return denoise_fns[width], store_fns[width]
+        get_fns = functools.partial(self._chunk_fns, net_key)
 
         out_chunks = []
         for (start, end) in spans:

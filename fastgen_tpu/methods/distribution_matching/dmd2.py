@@ -10,7 +10,7 @@ compiles one XLA program per phase and routes by iteration.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ forward; cache writes and re-noising use stop_gradient like the reference's
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

@@ -2,10 +2,8 @@
 
 from __future__ import annotations
 
-from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 
 from fastgen_tpu.methods.base import FastGenModel, convert_cfg_to_dict
 from fastgen_tpu.methods.common_loss import denoising_score_matching_loss

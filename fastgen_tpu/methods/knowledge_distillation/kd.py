@@ -9,7 +9,6 @@ Data contract (from the Pair/Path WDS loaders):
 
 from __future__ import annotations
 
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

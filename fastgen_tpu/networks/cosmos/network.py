@@ -13,10 +13,8 @@ aggressive; ref ``modules.py:54-90`` SACConfig/CheckpointMode)."""
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

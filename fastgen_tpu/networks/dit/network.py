@@ -7,9 +7,8 @@ checkpoint conversion lives in ``utils/torch_convert.py``.
 
 from __future__ import annotations
 
-import dataclasses
 import math
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -19,7 +18,6 @@ import flax.linen as nn
 from fastgen_tpu.networks.network import FastGenNetwork
 from fastgen_tpu.ops.attention import dot_product_attention
 from fastgen_tpu.ops.schedules import NET_PRED_TYPES
-from fastgen_tpu.utils import expand_like
 
 
 def sinusoidal_2d_embeddings(embed_dim: int, grid_size: int) -> np.ndarray:

@@ -13,8 +13,7 @@ weights are named ``mp_weight`` so the tree transform can find them.
 from __future__ import annotations
 
 import dataclasses
-from functools import lru_cache
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax

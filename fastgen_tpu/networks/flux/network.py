@@ -11,11 +11,9 @@ schedule, guidance-distilled conditioning baked in (Flux.1-dev style).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -16,8 +16,7 @@ block and after the mid block (ref ``classify_forward``,
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax

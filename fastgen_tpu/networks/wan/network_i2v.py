@@ -11,9 +11,7 @@ frame fixed through the student sample loop (ref ``model.py:343-370``)."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

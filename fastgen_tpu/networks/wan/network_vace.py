@@ -10,9 +10,8 @@ into the main stream at its mapped layer."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -18,13 +18,11 @@ grouped as C = G * Cg with channels-last grouping (matching
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float,

@@ -17,13 +17,12 @@ the same code then spans hosts with collectives over ICI/DCN.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any
 
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from fastgen_tpu.utils import logging_utils as logger
 
 DATA_AXES = ("dp", "fsdp")  # batch is sharded over both data axes
 

@@ -19,8 +19,7 @@ jitted XLA program per training phase with the donated ``MethodState``:
 from __future__ import annotations
 
 import os
-import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 import jax

@@ -15,7 +15,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from fastgen_tpu.utils import logging_utils as logger

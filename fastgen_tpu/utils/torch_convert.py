@@ -20,7 +20,6 @@ Facebook-format aliases the reference also handles
 
 from __future__ import annotations
 
-import os
 import pickle
 import re
 from typing import Any, Dict, Tuple

@@ -4,7 +4,6 @@ order/resume-from-index for DeterministicWDS)."""
 
 import io
 import json
-import os
 import tarfile
 import zipfile
 

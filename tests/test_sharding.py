@@ -3,7 +3,6 @@ replacement for the reference's spawned-NCCL FSDP test matrix,
 ``tests/test_fsdp.py:810-1627``: weight sync, sharded-vs-replicated forward
 parity, HSDP groups, full-method wrap, sharded checkpoint round-trip)."""
 
-import copy
 
 import numpy as np
 import jax

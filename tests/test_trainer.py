@@ -2,11 +2,8 @@
 ``test_trainer.py`` and relies on the quick-start config; we run the real loop
 at toy size instead — it is cheap in a single process)."""
 
-import copy
 import os
 
-import numpy as np
-import jax
 import pytest
 
 from fastgen_tpu.configs.experiments.EDM.config_dmd2_test import (
