@@ -1,0 +1,318 @@
+"""Host-side encoder wrappers with the reference's ``.encode()`` contract.
+
+Each wrapper mirrors one reference class:
+
+* ``StableDiffusionTextEncoder``  (``SD15/network.py:344-436``)  -> CLIP-L
+* ``SDXLTextEncoder``             (``SDXL/network.py:46-157``)   -> CLIP-L + bigG,
+  concat penultimate hidden states + pooled/add-embeds from encoder 2
+* ``FluxTextEncoder``             (``Flux/network.py:25-170``)   -> CLIP pooled + T5 seq
+* ``WanTextEncoder``              (``Wan/network.py:431-483``)   -> UMT5-XXL
+* ``CogVideoXTextEncoder``        (``CogVideoX/network.py:246-301``) -> T5-XXL
+* ``WanImageEncoder``             (``WanI2V/network.py:41-79``)  -> CLIP vision
+
+They tokenize on the host, run a jitted flax encode program, cache the
+unconditional ("") embeddings like the reference (``SD15/network.py:366-371``),
+and return arrays in the ``condition`` dict layout the networks consume.
+
+Tokenizers: a local HF tokenizer (``transformers``) is used when one can be
+loaded from ``HF_HOME`` with ``local_files_only``; otherwise a deterministic
+hash tokenizer stands in so the full pipeline runs end-to-end offline
+(embeddings are then only self-consistent, not pretrained-compatible).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fastgen_tpu.networks.encoders.clip import CLIPTextTransformer, CLIPVisionTransformer
+from fastgen_tpu.networks.encoders.t5 import T5Encoder
+from fastgen_tpu.utils import logging_utils as logger
+
+
+class HashTokenizer:
+    """Deterministic offline stand-in tokenizer (stable across processes)."""
+
+    def __init__(self, vocab_size: int, max_length: int,
+                 bos: Optional[int] = None, eos: Optional[int] = 1, pad: int = 0):
+        self.vocab_size, self.max_length = vocab_size, max_length
+        self.bos, self.eos, self.pad = bos, eos, pad
+
+    def __call__(self, texts: Sequence[str], max_length: Optional[int] = None):
+        import hashlib
+        L = max_length or self.max_length
+        ids = np.full((len(texts), L), self.pad, dtype=np.int32)
+        mask = np.zeros((len(texts), L), dtype=np.int32)
+        for b, text in enumerate(texts):
+            toks: List[int] = [] if self.bos is None else [self.bos]
+            for w in text.split():
+                h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                toks.append(2 + h % (self.vocab_size - 2))
+            if self.eos is not None:
+                toks.append(self.eos)
+            toks = toks[:L]
+            ids[b, :len(toks)] = toks
+            mask[b, :len(toks)] = 1
+        return ids, mask
+
+
+def load_hf_tokenizer(name_or_path: str, cls: str = "AutoTokenizer"):
+    """Try to load a local HF tokenizer; None if unavailable (zero egress)."""
+    try:
+        import transformers
+        tok_cls = getattr(transformers, cls)
+        return tok_cls.from_pretrained(name_or_path, local_files_only=True)
+    except Exception as e:  # noqa: BLE001 - any failure means "offline"
+        logger.warning(f"tokenizer {name_or_path} unavailable locally ({e}); "
+                       "using HashTokenizer fallback")
+        return None
+
+
+def _tokenize(tokenizer, texts, vocab_size, max_length, **hash_kw):
+    if tokenizer is None:
+        tokenizer = HashTokenizer(vocab_size, max_length, **hash_kw)
+        return tokenizer(texts)
+    out = tokenizer(list(texts), max_length=max_length, padding="max_length",
+                    truncation=True, return_tensors="np")
+    return out["input_ids"].astype(np.int32), out["attention_mask"].astype(np.int32)
+
+
+class FrozenEncoder:
+    """Shared plumbing: params + a jitted apply, bf16 by default."""
+
+    def __init__(self, module, params=None, rng_seed: int = 0,
+                 example_ids_shape: Tuple[int, int] = (1, 8), dtype=jnp.bfloat16):
+        self.module = module
+        self.dtype = dtype
+        if params is None:
+            params = module.init(jax.random.PRNGKey(rng_seed),
+                                 jnp.zeros(example_ids_shape, jnp.int32))["params"]
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x), params)
+
+
+class StableDiffusionTextEncoder(FrozenEncoder):
+    """CLIP-L text encoder (SD1.5). ``encode(prompts) -> [B, 77, 768]``."""
+
+    def __init__(self, params=None, tokenizer_path: Optional[str] = None,
+                 max_length: int = 77, dtype=jnp.bfloat16, **module_kw):
+        module = CLIPTextTransformer(**module_kw)
+        super().__init__(module, params, dtype=dtype)
+        self.max_length = max_length
+        self.tokenizer = load_hf_tokenizer(tokenizer_path, "CLIPTokenizer") \
+            if tokenizer_path else None
+        self._apply = jax.jit(lambda p, ids: self.module.apply({"params": p}, ids)[0])
+        self._uncond: Optional[jnp.ndarray] = None
+
+    def _ids(self, prompts):
+        ids, _ = _tokenize(self.tokenizer, prompts, self.module.vocab_size,
+                           self.max_length, bos=49406, eos=49407, pad=49407)
+        return ids
+
+    def encode(self, prompts: Sequence[str], precision=None):
+        if all(p == "" for p in prompts):
+            if self._uncond is None:
+                self._uncond = self._apply(self.params, jnp.asarray(self._ids([""])))
+            emb = jnp.repeat(self._uncond, len(prompts), axis=0)
+        else:
+            emb = self._apply(self.params, jnp.asarray(self._ids(list(prompts))))
+        return emb.astype(precision or self.dtype)
+
+
+class SDXLTextEncoder:
+    """Dual CLIP (L + bigG): concat penultimate hiddens; pooled from bigG.
+
+    ``encode(prompts) -> {"text_embeds": [B,77,2048], "pooled": [B,1280]}``.
+    """
+
+    def __init__(self, params_1=None, params_2=None, tokenizer_path=None,
+                 dtype=jnp.bfloat16,
+                 enc1_kw: Optional[dict] = None, enc2_kw: Optional[dict] = None):
+        enc1_kw = dict(enc1_kw or {})
+        enc2_kw = dict(enc2_kw or {})
+        enc2_kw.setdefault("hidden_size", 1280)
+        enc2_kw.setdefault("num_layers", 32)
+        enc2_kw.setdefault("num_heads", 20)
+        enc2_kw.setdefault("intermediate_size", 5120)
+        enc2_kw.setdefault("act", "gelu")
+        enc2_kw.setdefault("projection_dim", 1280)
+        self.enc1 = FrozenEncoder(CLIPTextTransformer(**enc1_kw), params_1, dtype=dtype)
+        self.enc2 = FrozenEncoder(CLIPTextTransformer(**enc2_kw), params_2, dtype=dtype)
+        self.dtype = dtype
+        self.tokenizer = load_hf_tokenizer(tokenizer_path, "CLIPTokenizer") \
+            if tokenizer_path else None
+
+        def apply(p1, p2, ids):
+            h1, _ = self.enc1.module.apply({"params": p1}, ids, return_hidden_layer=-2)
+            h2, pooled = self.enc2.module.apply({"params": p2}, ids,
+                                                return_hidden_layer=-2)
+            return jnp.concatenate([h1, h2], axis=-1), pooled
+
+        self._apply = jax.jit(apply)
+
+    def encode(self, prompts: Sequence[str], precision=None):
+        ids, _ = _tokenize(self.tokenizer, prompts, self.enc1.module.vocab_size,
+                           77, bos=49406, eos=49407, pad=49407)
+        emb, pooled = self._apply(self.enc1.params, self.enc2.params, jnp.asarray(ids))
+        dt = precision or self.dtype
+        return {"text_embeds": emb.astype(dt), "pooled": pooled.astype(dt)}
+
+
+class T5TextEncoder(FrozenEncoder):
+    """T5/UMT5 sequence encoder (Wan: UMT5; CogVideoX/Flux: T5)."""
+
+    def __init__(self, params=None, tokenizer_path: Optional[str] = None,
+                 max_length: int = 512, dtype=jnp.bfloat16, **module_kw):
+        module = T5Encoder(**module_kw)
+        super().__init__(module, params, dtype=dtype)
+        self.max_length = max_length
+        self.tokenizer = load_hf_tokenizer(tokenizer_path) if tokenizer_path else None
+        self._apply = jax.jit(
+            lambda p, ids, mask: self.module.apply({"params": p}, ids, mask))
+
+    def encode(self, prompts: Sequence[str], precision=None):
+        ids, mask = _tokenize(self.tokenizer, prompts, self.module.vocab_size,
+                              self.max_length, bos=None, eos=1, pad=0)
+        emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        # zero out padded positions like the reference (Wan masks pad tokens)
+        emb = emb * jnp.asarray(mask)[..., None].astype(emb.dtype)
+        return emb.astype(precision or self.dtype)
+
+
+WanTextEncoder = partial(T5TextEncoder, per_layer_rel_bias=True)
+CogVideoXTextEncoder = partial(T5TextEncoder, per_layer_rel_bias=False, max_length=226)
+
+
+class FluxTextEncoder:
+    """CLIP pooled + T5 sequence (``Flux/network.py:25-170``)."""
+
+    def __init__(self, clip_params=None, t5_params=None, dtype=jnp.bfloat16,
+                 clip_kw: Optional[dict] = None, t5_kw: Optional[dict] = None,
+                 t5_max_length: int = 512, tokenizer_paths: Tuple = (None, None)):
+        self.clip = StableDiffusionTextEncoder(clip_params, tokenizer_paths[0],
+                                               dtype=dtype, **(clip_kw or {}))
+        t5_kw = dict(t5_kw or {})
+        t5_kw.setdefault("per_layer_rel_bias", False)
+        self.t5 = T5TextEncoder(t5_params, tokenizer_paths[1],
+                                max_length=t5_max_length, dtype=dtype, **t5_kw)
+        self.dtype = dtype
+
+        def pooled_fn(p, ids):
+            _, pooled = self.clip.module.apply({"params": p}, ids)
+            return pooled
+
+        self._pooled = jax.jit(pooled_fn)
+
+    def encode(self, prompts: Sequence[str], precision=None):
+        dt = precision or self.dtype
+        seq = self.t5.encode(prompts, precision=dt)
+        ids = jnp.asarray(self.clip._ids(list(prompts)))
+        pooled = self._pooled(self.clip.params, ids).astype(dt)
+        return {"text_embeds": seq, "pooled": pooled}
+
+
+class VAEWrapper:
+    """Frozen image VAE with the reference's ``vae.encode/decode`` contract
+    (``DiT/network.py:794-837``). Images [B,H,W,C] <-> latents [B,h,w,zc]."""
+
+    def __init__(self, params=None, dtype=jnp.bfloat16, seed: int = 0,
+                 example_hw: int = 32, **module_kw):
+        from fastgen_tpu.networks.encoders.vae import AutoencoderKL
+        self.module = AutoencoderKL(**module_kw)
+        self.dtype = dtype
+        if params is None:
+            params = self.module.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((1, example_hw, example_hw, 3), dtype))["params"]
+        self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        self._enc_argmax = jax.jit(lambda p, x: self.module.apply(
+            {"params": p}, x, mode="argmax", method=self.module.encode))
+        self._enc_sample = jax.jit(lambda p, x, k: self.module.apply(
+            {"params": p}, x, rng=k, mode="sample", method=self.module.encode))
+        self._dec = jax.jit(lambda p, z: self.module.apply(
+            {"params": p}, z, method=self.module.decode))
+
+    def encode(self, x, rng=None, mode: str = "sample", precision=None):
+        x = jnp.asarray(x, self.dtype)
+        if mode == "argmax" or rng is None:
+            z = self._enc_argmax(self.params, x)
+        else:
+            z = self._enc_sample(self.params, x, rng)
+        return z.astype(precision or self.dtype)
+
+    def decode(self, z, precision=None):
+        return self._dec(self.params, jnp.asarray(z, self.dtype)).astype(
+            precision or self.dtype)
+
+
+class VideoVAEWrapper:
+    """Frozen causal video VAE (``Wan/network.py:484-541``).
+    Videos [B,T,H,W,C] <-> latents [B,t,h,w,zc]."""
+
+    def __init__(self, params=None, dtype=jnp.bfloat16, seed: int = 0,
+                 example_shape: Tuple[int, int, int] = (5, 32, 32), **module_kw):
+        from fastgen_tpu.networks.encoders.video_vae import CausalVideoVAE
+        self.module = CausalVideoVAE(**module_kw)
+        self.dtype = dtype
+        if params is None:
+            t, h, w = example_shape
+            params = self.module.init(
+                jax.random.PRNGKey(seed), jnp.zeros((1, t, h, w, 3), dtype))["params"]
+        self.params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+        self._enc_argmax = jax.jit(lambda p, x: self.module.apply(
+            {"params": p}, x, mode="argmax", method=self.module.encode))
+        self._enc_sample = jax.jit(lambda p, x, k: self.module.apply(
+            {"params": p}, x, rng=k, mode="sample", method=self.module.encode))
+        self._dec = jax.jit(lambda p, z: self.module.apply(
+            {"params": p}, z, method=self.module.decode))
+
+    def encode(self, x, rng=None, mode: str = "sample", precision=None):
+        x = jnp.asarray(x, self.dtype)
+        if mode == "argmax" or rng is None:
+            z = self._enc_argmax(self.params, x)
+        else:
+            z = self._enc_sample(self.params, x, rng)
+        return z.astype(precision or self.dtype)
+
+    def decode(self, z, precision=None):
+        return self._dec(self.params, jnp.asarray(z, self.dtype)).astype(
+            precision or self.dtype)
+
+
+class WanImageEncoder(FrozenEncoder):
+    """CLIP-vision first-frame encoder for I2V (``WanI2V/network.py:41-79``).
+
+    ``encode(images [B,H,W,3] in [-1,1]) -> [B, tokens, hidden]`` from the
+    penultimate layer (the reference takes hidden_states[-2]).
+    """
+
+    def __init__(self, params=None, dtype=jnp.bfloat16, **module_kw):
+        module = CLIPVisionTransformer(**module_kw)
+        self.module = module
+        self.dtype = dtype
+        if params is None:
+            s = module.image_size
+            params = module.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, s, s, 3), dtype))["params"]
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x), params)
+        self._apply = jax.jit(lambda p, im: self.module.apply(
+            {"params": p}, im, return_hidden_layer=-2)[0])
+
+    def encode(self, images, precision=None):
+        s = self.module.image_size
+        images = jnp.asarray(images, self.dtype)
+        if images.shape[1] != s or images.shape[2] != s:
+            images = jax.image.resize(
+                images, (images.shape[0], s, s, images.shape[3]), "bilinear")
+        # [-1,1] -> CLIP normalization
+        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073], images.dtype)
+        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711], images.dtype)
+        images = ((images + 1.0) / 2.0 - mean) / std
+        return self._apply(self.params, images).astype(precision or self.dtype)
