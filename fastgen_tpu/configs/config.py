@@ -120,13 +120,21 @@ class BaseModelConfig:
 
     sample_t_cfg: SampleTConfig = attrs.field(factory=SampleTConfig)
 
-    input_shape: List[int] = attrs.field(factory=lambda: [3, 32, 32])
+    # channels-last (TPU layout): [H, W, C] images, [T, h, w, zc] video latents
+    input_shape: List[int] = attrs.field(factory=lambda: [32, 32, 3])
 
     pretrained_model_path: str = ""
     pretrained_student_net_path: str = ""
     load_student_weights: bool = True
 
     enable_preprocessors: bool = True
+    # frozen encoder stack (LazyCall configs; ref nets carry these as
+    # ``net.vae`` / ``net.text_encoder`` / ``net.image_encoder``,
+    # ``trainer.py:374-476`` — here they are host-side wrapper objects from
+    # fastgen_tpu/networks/encoders/wrappers.py)
+    vae: Optional[Any] = None
+    text_encoder: Optional[Any] = None
+    image_encoder: Optional[Any] = None
 
     # EMA: False, or a list of beta/halflife specs (see callbacks/ema.py)
     use_ema: Any = False

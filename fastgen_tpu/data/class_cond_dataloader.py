@@ -120,3 +120,30 @@ class SyntheticVideoLoader:
                    "condition": {"text_embeds": text},
                    "neg_condition": {"text_embeds": np.zeros_like(text)}}
             i += 1
+
+
+class SyntheticRawVideoLoader:
+    """Synthetic *raw* video batches (pixels + prompt strings) to exercise the
+    preprocess_data encode path (ref ``trainer.py:374-476``): ``{"real":
+    [B,T,H,W,3] in [-1,1], "condition"/"neg_condition": list[str]}``."""
+
+    def __init__(self, batch_size: int = 1, frames: int = 5, resolution: int = 16,
+                 seed: int = 0, sampler_start_idx: int = 0, **kwargs):
+        self.batch_size = batch_size
+        self.frames = frames
+        self.resolution = resolution
+        self.seed = seed + sampler_start_idx
+
+    def __iter__(self):
+        prompts = ["a red panda", "ocean waves at dusk", "city traffic timelapse"]
+        i = self.seed
+        while True:
+            rs = np.random.RandomState(i % (1 << 31))
+            real = rs.uniform(-1, 1, (self.batch_size, self.frames,
+                                      self.resolution, self.resolution,
+                                      3)).astype(np.float32)
+            yield {"real": real,
+                   "condition": [prompts[(i + b) % len(prompts)]
+                                 for b in range(self.batch_size)],
+                   "neg_condition": [""] * self.batch_size}
+            i += 1

@@ -116,11 +116,27 @@ class FastGenModel:
         self.precision_amp = PRECISION_MAP.get(config.precision_amp) if config.precision_amp else None
         self.precision_amp_infer = (PRECISION_MAP.get(config.precision_amp_infer)
                                     if config.precision_amp_infer else None)
+        self.precision_amp_enc = (PRECISION_MAP.get(config.precision_amp_enc)
+                                  if getattr(config, "precision_amp_enc", None)
+                                  else None)
         self.input_shape = tuple(config.input_shape)
         self.nets: Dict[str, Any] = {}       # linen modules per key
         self.txs: Dict[str, optax.GradientTransformation] = {}
         self.build_model()
         self._register_param_postprocessors()
+        self._build_encoders()
+
+    def _build_encoders(self):
+        """Frozen encoder stack for preprocess_data (ref nets attach
+        ``vae``/``text_encoder``/``image_encoder``; ``trainer.py:374-476``)."""
+        self.vae = None
+        self.text_encoder = None
+        self.image_encoder = None
+        for name in ("vae", "text_encoder", "image_encoder"):
+            cfg = getattr(self.config, name, None)
+            if cfg is not None and getattr(self.config, "enable_preprocessors", True):
+                logger.info(f"Instantiating frozen {name}")
+                setattr(self, name, instantiate(cfg))
 
     # ------------------------------------------------------------- structure
     @property

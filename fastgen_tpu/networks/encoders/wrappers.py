@@ -81,12 +81,21 @@ def _tokenize(tokenizer, texts, vocab_size, max_length, **hash_kw):
     return out["input_ids"].astype(np.int32), out["attention_mask"].astype(np.int32)
 
 
+def _resolve_dtype(dtype):
+    """Accept 'float32'/'bfloat16' strings from LazyCall configs."""
+    if isinstance(dtype, str):
+        from fastgen_tpu.utils import PRECISION_MAP
+        return PRECISION_MAP[dtype]
+    return dtype
+
+
 class FrozenEncoder:
     """Shared plumbing: params + a jitted apply, bf16 by default."""
 
     def __init__(self, module, params=None, rng_seed: int = 0,
                  example_ids_shape: Tuple[int, int] = (1, 8), dtype=jnp.bfloat16):
         self.module = module
+        dtype = _resolve_dtype(dtype)
         self.dtype = dtype
         if params is None:
             params = module.init(jax.random.PRNGKey(rng_seed),
@@ -143,6 +152,7 @@ class SDXLTextEncoder:
         enc2_kw.setdefault("projection_dim", 1280)
         self.enc1 = FrozenEncoder(CLIPTextTransformer(**enc1_kw), params_1, dtype=dtype)
         self.enc2 = FrozenEncoder(CLIPTextTransformer(**enc2_kw), params_2, dtype=dtype)
+        dtype = _resolve_dtype(dtype)
         self.dtype = dtype
         self.tokenizer = load_hf_tokenizer(tokenizer_path, "CLIPTokenizer") \
             if tokenizer_path else None
@@ -224,6 +234,7 @@ class VAEWrapper:
                  example_hw: int = 32, **module_kw):
         from fastgen_tpu.networks.encoders.vae import AutoencoderKL
         self.module = AutoencoderKL(**module_kw)
+        dtype = _resolve_dtype(dtype)
         self.dtype = dtype
         if params is None:
             params = self.module.init(
@@ -258,6 +269,7 @@ class VideoVAEWrapper:
                  example_shape: Tuple[int, int, int] = (5, 32, 32), **module_kw):
         from fastgen_tpu.networks.encoders.video_vae import CausalVideoVAE
         self.module = CausalVideoVAE(**module_kw)
+        dtype = _resolve_dtype(dtype)
         self.dtype = dtype
         if params is None:
             t, h, w = example_shape
@@ -294,6 +306,7 @@ class WanImageEncoder(FrozenEncoder):
     def __init__(self, params=None, dtype=jnp.bfloat16, **module_kw):
         module = CLIPVisionTransformer(**module_kw)
         self.module = module
+        dtype = _resolve_dtype(dtype)
         self.dtype = dtype
         if params is None:
             s = module.image_size

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from fastgen_tpu.callbacks.callback import CallbackDict
+from fastgen_tpu.data.preprocess import preprocess_data
 from fastgen_tpu.parallel import mesh as mesh_lib
 from fastgen_tpu.utils import instantiate
 from fastgen_tpu.utils import logging_utils as logger
@@ -138,7 +139,7 @@ class Trainer:
             if _dbg:
                 print(f"[dbg] iter {iteration} phase {phase} accum {accum}", flush=True)
             if accum == 1:
-                batch = mesh_lib.shard_batch(next(train_iter), self.mesh)
+                batch = self._fetch_batch(model, train_iter, step_key)
                 cb.on_training_accum_step_begin(model, state=state, iteration=iteration)
                 state, loss_map, outputs = train_steps[phase](state, batch, step_key)
             else:
@@ -146,7 +147,8 @@ class Trainer:
                 for a in range(accum):
                     if _dbg:
                         print(f"[dbg] fetch batch round {a}", flush=True)
-                    batch = mesh_lib.shard_batch(next(train_iter), self.mesh)
+                    batch = self._fetch_batch(model, train_iter,
+                                              jax.random.fold_in(step_key, 17 + a))
                     if _dbg:
                         print(f"[dbg] got batch round {a}", flush=True)
                     cb.on_training_accum_step_begin(model, state=state,
@@ -191,6 +193,17 @@ class Trainer:
         cb.on_app_end(model, iteration=iteration)
         if os.environ.get("FASTGEN_TRAINER_DEBUG"):
             print("[dbg] run() returning", flush=True)
+
+    # ---------------------------------------------------------------- batch
+    def _fetch_batch(self, model, train_iter, rng):
+        """next(loader) -> preprocess (VAE/text/image encode,
+        ref ``trainer.py:374-476``) -> shard onto the mesh."""
+        batch = next(train_iter)
+        if getattr(self.config.model, "enable_preprocessors", True):
+            batch = preprocess_data(model, batch, rng=rng)
+        # raw pixels/prompts are host-side context, not step inputs
+        batch = {k: v for k, v in batch.items() if not k.endswith("_raw")}
+        return mesh_lib.shard_batch(batch, self.mesh)
 
     # ------------------------------------------------------------ validation
     def validate(self, model, state, iteration: int) -> None:
