@@ -272,3 +272,23 @@ CausalVACEWan_1_3B_Config = L(build_causal_vace_wan)(
     dim=1536, num_layers=30, num_heads=12, ffn_dim=8960, in_channels=16,
     out_channels=16, text_dim=4096, rope_max_seq_len=1024, num_vace_layers=8,
     chunk_size=3, total_num_frames=21, frame_height=60, frame_width=104)
+
+
+def build_ltx2(**kwargs):
+    from fastgen_tpu.networks.ltx2.network import LTX2VideoDiT
+
+    return LTX2VideoDiT(**kwargs)
+
+
+# LTX-2 video-only transformer (ref ``networks/LTX2/transformer_ltx2.py:791``;
+# full size: 32 heads x 128, 48 layers, 128 packed latent channels, Gemma3
+# connector captions 3840-d)
+LTX2_Config = L(build_ltx2)(
+    in_channels=128, out_channels=128, num_heads=32, head_dim=128,
+    num_layers=48, caption_channels=3840, rope_max_seq_len=4096,
+    remat=True, net_pred_type="flow", schedule_type="rf")
+
+LTX2_Test_Config = L(build_ltx2)(
+    in_channels=4, out_channels=4, num_heads=4, head_dim=24, num_layers=2,
+    caption_channels=32, rope_max_seq_len=64,
+    net_pred_type="flow", schedule_type="rf")
