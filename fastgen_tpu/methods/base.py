@@ -270,11 +270,13 @@ class FastGenModel:
     def _checkpoint_arch(self, net) -> Optional[str]:
         name = type(net).__name__
         if "EDM2" in name:
-            return None  # EDM2 converter pending
+            return "edm2"
         if "EDM" in name:
             return "edm"
         if name == "DiT":
             return "dit"
+        if "Wan" in name:
+            return "wan"
         return None
 
     def _load_pretrained(self, params: Dict[str, Any]) -> Dict[str, Any]:

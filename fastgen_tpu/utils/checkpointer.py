@@ -22,7 +22,27 @@ from fastgen_tpu.utils import logging_utils as logger
 
 class Checkpointer:
     def __init__(self, save_dir: str, max_to_keep: Optional[int] = None,
-                 async_save: bool = True, **kwargs):
+                 async_save: bool = True, s3_client=None,
+                 s3_credential_path: Optional[str] = None, **kwargs):
+        from fastgen_tpu.utils.s3_filesystem import S3FileSystem, is_s3_path
+
+        # s3:// save dirs stage locally and sync after save / before load
+        # (ref ``utils/distributed/s3_filesystem.py`` S3StorageWriter/Reader)
+        self.s3_path: Optional[str] = None
+        self.s3: Optional[S3FileSystem] = None
+        if is_s3_path(save_dir):
+            self.s3_path = save_dir.rstrip("/")
+            self.s3 = S3FileSystem(client=s3_client,
+                                   credential_path=s3_credential_path)
+            import hashlib
+            import tempfile
+
+            tag = hashlib.md5(self.s3_path.encode()).hexdigest()[:12]
+            save_dir = os.path.join(tempfile.gettempdir(),
+                                    f"fastgen_ckpt_{tag}")
+            if self.s3.exists(self.s3_path):
+                os.makedirs(save_dir, exist_ok=True)
+                self.s3.download_dir(self.s3_path, save_dir)
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
@@ -40,6 +60,9 @@ class Checkpointer:
 
             with open(os.path.join(self.save_dir, f"metadata_{iteration}.json"), "w") as f:
                 json.dump(metadata, f)
+        if self.s3 is not None:
+            self.manager.wait_until_finished()
+            self.s3.upload_dir(self.save_dir, self.s3_path)
         logger.info(f"Queued checkpoint save at iteration {iteration} -> {self.save_dir}")
 
     def wait(self):

@@ -211,7 +211,131 @@ def convert_dit(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
-CONVERTERS = {"edm": convert_edm, "dit": convert_dit}
+def convert_wan(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """diffusers ``WanTransformer3DModel`` state dict -> ``WanVideoDiT`` params.
+
+    Covers the T2V trunk exactly (patch embedding, condition embedder,
+    blocks, output head) plus the fastgen-added ``logvar_linear`` /
+    ``r_embedder`` heads (ref ``Wan/network.py:607-620``). I2V extras: the
+    image-embedder FF maps onto our ``img_embedder_0/2``; per-attention
+    ``add_k_proj``/``add_v_proj`` image-KV projections have no counterpart
+    (our I2V prepends CLIP tokens to the cross-attention context instead,
+    ``network_i2v.py``) and are skipped with a warning.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.", "transformer.", "net."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+
+    params: Dict[str, Any] = {}
+
+    def put(path: str, v):
+        _set_nested(params, tuple(path.split(".")), np.asarray(v))
+
+    def dense(dst: str, src: str):
+        put(dst + ".kernel", _to_dense(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            put(dst + ".bias", sd[src + ".bias"])
+
+    # patch embedding: Conv3d [D, C, kt, kh, kw]
+    put("patch_embedding.kernel", _to_conv3d(sd["patch_embedding.weight"]))
+    put("patch_embedding.bias", sd["patch_embedding.bias"])
+
+    # condition embedder (time MLP + 6*dim proj), text embedder
+    dense("condition_embedder.time_embedder_0",
+          "condition_embedder.time_embedder.linear_1")
+    dense("condition_embedder.time_embedder_2",
+          "condition_embedder.time_embedder.linear_2")
+    dense("condition_embedder.time_proj", "condition_embedder.time_proj")
+    dense("text_embedder_0", "condition_embedder.text_embedder.linear_1")
+    dense("text_embedder_2", "condition_embedder.text_embedder.linear_2")
+    if "condition_embedder.image_embedder.ff.net.0.proj.weight" in sd:
+        dense("img_embedder_0", "condition_embedder.image_embedder.ff.net.0.proj")
+        dense("img_embedder_2", "condition_embedder.image_embedder.ff.net.2")
+
+    # fastgen-added heads (present in distilled checkpoints)
+    if "logvar_linear.weight" in sd:
+        dense("logvar_linear", "logvar_linear")
+    for a, b in (("r_embedder.time_embedder_0", "r_embedder.time_embedder.linear_1"),
+                 ("r_embedder.time_embedder_2", "r_embedder.time_embedder.linear_2"),
+                 ("r_embedder.time_proj", "r_embedder.time_proj")):
+        if b + ".weight" in sd:
+            dense(a, b)
+
+    n_blocks = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    for i in range(n_blocks):
+        src = f"blocks.{i}."
+        dst = f"blocks_{i}."
+        for attn in ("attn1", "attn2"):
+            dense(dst + f"{attn}.to_q", src + f"{attn}.to_q")
+            dense(dst + f"{attn}.to_k", src + f"{attn}.to_k")
+            dense(dst + f"{attn}.to_v", src + f"{attn}.to_v")
+            out_key = (src + f"{attn}.to_out.0" if src + f"{attn}.to_out.0.weight" in sd
+                       else src + f"{attn}.to_out")
+            dense(dst + f"{attn}.to_out", out_key)
+            for nm in ("norm_q", "norm_k"):
+                if src + f"{attn}.{nm}.weight" in sd:
+                    put(dst + f"{attn}.{nm}.scale", sd[src + f"{attn}.{nm}.weight"])
+        if src + "norm2.weight" in sd:
+            put(dst + "norm2.scale", sd[src + "norm2.weight"])
+            put(dst + "norm2.bias", sd[src + "norm2.bias"])
+        dense(dst + "ffn.fc1", src + "ffn.net.0.proj")
+        dense(dst + "ffn.fc2", src + "ffn.net.2")
+        table = np.asarray(sd[src + "scale_shift_table"])
+        put(dst + "scale_shift_table", table.reshape(1, 6, -1))
+
+    put("out_scale_shift_table", np.asarray(sd["scale_shift_table"]).reshape(1, 2, -1))
+    dense("proj_out", "proj_out")
+
+    handled_markers = ("patch_embedding", "condition_embedder", "blocks.",
+                       "scale_shift_table", "proj_out", "logvar_linear",
+                       "r_embedder")
+    for k in sd:
+        if not any(m in k for m in handled_markers):
+            logger.warning(f"Unmapped Wan key {k}")
+        elif "add_k_proj" in k or "add_v_proj" in k or "norm_added" in k:
+            logger.warning(f"Skipped Wan image-KV key {k} (architecture-adapted)")
+    return {"params": params}
+
+
+def convert_edm2(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """NVIDIA EDM2 ``Precond`` state dict -> ``EDM2Precond`` params.
+
+    The flax module reuses NVIDIA's own submodule naming
+    (``{res}x{res}_conv`` / ``_down`` / ``_up`` / ``_block{i}`` / ``_in{i}``,
+    ref ``networks/EDM2/network.py:294-455``), so conversion is mechanical:
+    ``unet.enc.X`` -> ``unet.enc_X``, MPConv ``weight`` -> ``mp_weight`` with
+    OIHW->HWIO (or [O,I]->[I,O]) layout; gains and Fourier freqs/phases copy
+    through unchanged.
+    """
+    params: Dict[str, Any] = {}
+    for key, v in state_dict.items():
+        v = np.asarray(v)
+        parts = key.split(".")
+        # enc./dec. dict entries fold into flax's attr_key naming
+        out_parts = []
+        i = 0
+        while i < len(parts):
+            if parts[i] in ("enc", "dec") and i + 1 < len(parts):
+                out_parts.append(f"{parts[i]}_{parts[i + 1]}")
+                i += 2
+            else:
+                out_parts.append(parts[i])
+                i += 1
+        if out_parts[-1] == "weight":
+            out_parts[-1] = "mp_weight"
+            if v.ndim == 4:
+                v = _to_conv2d(v)
+            elif v.ndim == 2:
+                v = _to_dense(v)
+        _set_nested(params, tuple(out_parts), v)
+    return {"params": params}
+
+
+CONVERTERS = {"edm": convert_edm, "dit": convert_dit, "wan": convert_wan,
+              "edm2": convert_edm2}
 
 
 def convert_checkpoint(path: str, arch: str) -> Dict[str, Any]:

@@ -149,3 +149,130 @@ def test_pretrained_path_wiring(tmp_path):
     np.testing.assert_allclose(a, b + 1.0, rtol=1e-6)
     c = np.asarray(jax.tree_util.tree_leaves(state.params["fake_score"])[0])
     np.testing.assert_allclose(c, a)
+
+
+class TestWanConverter:
+    """Roundtrip: flax Wan params -> synthetic diffusers-layout torch dict ->
+    convert_wan -> exact equality with the original params."""
+
+    def _flax_to_torch_layout(self, params):
+        import numpy as np
+        sd = {}
+
+        def dense(dst, node):
+            sd[dst + ".weight"] = np.asarray(node["kernel"]).T
+            if "bias" in node:
+                sd[dst + ".bias"] = np.asarray(node["bias"])
+
+        p = params["params"]
+        w = np.asarray(p["patch_embedding"]["kernel"])  # [kt,kh,kw,I,O]
+        sd["patch_embedding.weight"] = np.transpose(w, (4, 3, 0, 1, 2))
+        sd["patch_embedding.bias"] = np.asarray(p["patch_embedding"]["bias"])
+        ce = p["condition_embedder"]
+        dense("condition_embedder.time_embedder.linear_1", ce["time_embedder_0"])
+        dense("condition_embedder.time_embedder.linear_2", ce["time_embedder_2"])
+        dense("condition_embedder.time_proj", ce["time_proj"])
+        dense("condition_embedder.text_embedder.linear_1", p["text_embedder_0"])
+        dense("condition_embedder.text_embedder.linear_2", p["text_embedder_2"])
+        i = 0
+        while f"blocks_{i}" in p:
+            b = p[f"blocks_{i}"]
+            for attn in ("attn1", "attn2"):
+                for nm in ("to_q", "to_k", "to_v"):
+                    dense(f"blocks.{i}.{attn}.{nm}", b[attn][nm])
+                dense(f"blocks.{i}.{attn}.to_out.0", b[attn]["to_out"])
+                for nm in ("norm_q", "norm_k"):
+                    if nm in b[attn]:
+                        sd[f"blocks.{i}.{attn}.{nm}.weight"] = \
+                            np.asarray(b[attn][nm]["scale"])
+            if "scale" in b.get("norm2", {}):
+                sd[f"blocks.{i}.norm2.weight"] = np.asarray(b["norm2"]["scale"])
+                sd[f"blocks.{i}.norm2.bias"] = np.asarray(b["norm2"]["bias"])
+            dense(f"blocks.{i}.ffn.net.0.proj", b["ffn"]["fc1"])
+            dense(f"blocks.{i}.ffn.net.2", b["ffn"]["fc2"])
+            sd[f"blocks.{i}.scale_shift_table"] = \
+                np.asarray(b["scale_shift_table"]).reshape(1, 6, -1)
+            i += 1
+        sd["scale_shift_table"] = \
+            np.asarray(p["out_scale_shift_table"]).reshape(1, 2, -1)
+        dense("proj_out", p["proj_out"])
+        return sd
+
+    def test_roundtrip_exact(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from fastgen_tpu.networks.wan.network import WanVideoDiT
+        from fastgen_tpu.utils.torch_convert import convert_wan, verify_against_template
+
+        net = WanVideoDiT(dim=48, num_layers=2, num_heads=2, ffn_dim=64,
+                          in_channels=4, out_channels=4, text_dim=16,
+                          rope_max_seq_len=32)
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 4, 4, 4)),
+                          jnp.ones((1,)))
+        sd = self._flax_to_torch_layout(params)
+        conv = convert_wan(sd)
+        matched, missing = verify_against_template(conv, params, strict=True)
+        assert missing == 0
+
+        def assert_equal(a, b, path=""):
+            if isinstance(a, dict):
+                assert set(a) == set(b), f"{path}: {set(a)} vs {set(b)}"
+                for k in a:
+                    assert_equal(a[k], b[k], path + "/" + k)
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                              err_msg=path)
+
+        assert_equal(conv["params"], jax.tree_util.tree_map(np.asarray,
+                                                            params["params"]))
+
+
+class TestEDM2Converter:
+    """Roundtrip: flax EDM2 params -> NVIDIA-layout torch dict -> convert."""
+
+    def test_roundtrip_exact(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from fastgen_tpu.networks.edm2.network import EDM2Precond
+        from fastgen_tpu.utils.torch_convert import convert_edm2, verify_against_template
+
+        net = EDM2Precond(img_resolution=16, img_channels=3, label_dim=4,
+                          model_kwargs=dict(model_channels=8, channel_mult=[1, 2],
+                                            num_blocks=1, attn_resolutions=[8]))
+        params = net.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 16, 16, 3)), jnp.ones((1,)),
+                          condition=jnp.zeros((1, 4)))
+
+        sd = {}
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        for path, leaf in flat:
+            keys = [p.key for p in path if hasattr(p, "key")][1:]  # drop 'params'
+            v = np.asarray(leaf)
+            name = []
+            for k in keys:
+                if k.startswith(("enc_", "dec_")):
+                    name += [k[:3], k[4:]]
+                else:
+                    name.append(k)
+            if name[-1] == "mp_weight":
+                name[-1] = "weight"
+                v = (np.transpose(v, (3, 2, 0, 1)) if v.ndim == 4 else v.T)
+            sd[".".join(name)] = v
+
+        conv = convert_edm2(sd)
+        matched, missing = verify_against_template(conv, params, strict=True)
+        assert missing == 0
+
+        def assert_equal(a, b, path=""):
+            if isinstance(a, dict):
+                assert set(a) == set(b), f"{path}: {set(a)} vs {set(b)}"
+                for k in a:
+                    assert_equal(a[k], b[k], path + "/" + k)
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                              err_msg=path)
+
+        assert_equal(conv["params"],
+                     jax.tree_util.tree_map(np.asarray, params["params"]))
