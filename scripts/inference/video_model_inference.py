@@ -37,6 +37,14 @@ def parse_args():
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--text_emb", default=None, help="npy [L,D] text embedding")
+    p.add_argument("--prompt", default=None,
+                   help="text prompt (encoded with the model's text_encoder)")
+    p.add_argument("--prompt_expand", action="store_true",
+                   help="rewrite --prompt with the prompt expander "
+                        "(ref third_party/wan_prompt_expand)")
+    p.add_argument("--prompt_expand_model", default=None,
+                   help="local HF model dir for Qwen expansion; template "
+                        "fallback when omitted/unavailable")
     p.add_argument("--num_segments", type=int, default=1)
     p.add_argument("--overlap_frames", type=int, default=1)
     p.add_argument("--context_noise", type=float, default=0.0)
@@ -72,7 +80,21 @@ def main():
     n = args.num_samples
     shape = tuple(config.model.input_shape)  # [T, H, W, C] latents
 
-    if args.text_emb:
+    if args.prompt is not None:
+        prompt = args.prompt
+        if args.prompt_expand:
+            from fastgen_tpu.utils.prompt_expand import make_prompt_expander
+
+            expander = make_prompt_expander(args.prompt_expand_model)
+            out = expander(prompt, seed=args.seed)
+            print(f"Expanded prompt: {out.prompt}")
+            prompt = out.prompt
+        if model.text_encoder is None:
+            raise SystemExit("--prompt requires model.text_encoder in the config "
+                             "(or pass --text_emb with precomputed embeddings)")
+        enc = model.text_encoder.encode([prompt] * n, precision=model.precision)
+        text = enc["text_embeds"] if isinstance(enc, dict) else enc
+    elif args.text_emb:
         text = jnp.asarray(np.load(args.text_emb))[None].repeat(n, 0)
     else:
         text = jnp.zeros((n, 1, model.net.text_dim), model.precision)
