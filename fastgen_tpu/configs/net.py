@@ -292,3 +292,22 @@ LTX2_Test_Config = L(build_ltx2)(
     in_channels=4, out_channels=4, num_heads=4, head_dim=24, num_layers=2,
     caption_channels=32, rope_max_seq_len=64,
     net_pred_type="flow", schedule_type="rf")
+
+
+SD15_Test_Config = L(build_sd15)(
+    context_dim=16, in_channels=4, img_resolution=16,
+    block_out_channels=[8, 16], transformer_depths=[1, 0], fixed_num_heads=2)
+
+
+def build_depth_annotator(**kwargs):
+    from fastgen_tpu.networks.annotators import DepthAnnotator
+
+    return DepthAnnotator(**kwargs)
+
+
+# VACE on-the-fly depth control (ref vace_depth_annotator.py:15-139; weights
+# expected at the reference's default cache path when available locally)
+DepthAnnotator_Config = L(build_depth_annotator)(
+    variant="vitl",
+    params_path=f"{OUTPUT_ROOT}/.cache/annotators/depth_anything_v2_vitl.pth",
+    input_size=518)

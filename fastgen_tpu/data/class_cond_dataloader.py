@@ -147,3 +147,27 @@ class SyntheticRawVideoLoader:
                                  for b in range(self.batch_size)],
                    "neg_condition": [""] * self.batch_size}
             i += 1
+
+
+class SyntheticRawImageLoader:
+    """Synthetic raw image batches (pixels + prompt strings), the image
+    counterpart of :class:`SyntheticRawVideoLoader`."""
+
+    def __init__(self, batch_size: int = 2, resolution: int = 16,
+                 seed: int = 0, sampler_start_idx: int = 0, **kwargs):
+        self.batch_size = batch_size
+        self.resolution = resolution
+        self.seed = seed + sampler_start_idx
+
+    def __iter__(self):
+        prompts = ["a watercolor fox", "a neon city skyline", "a bowl of ramen"]
+        i = self.seed
+        while True:
+            rs = np.random.RandomState(i % (1 << 31))
+            real = rs.uniform(-1, 1, (self.batch_size, self.resolution,
+                                      self.resolution, 3)).astype(np.float32)
+            yield {"real": real,
+                   "condition": [prompts[(i + b) % len(prompts)]
+                                 for b in range(self.batch_size)],
+                   "neg_condition": [""] * self.batch_size}
+            i += 1

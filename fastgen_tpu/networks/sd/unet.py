@@ -236,13 +236,18 @@ class StableDiffusion15(FastGenNetwork):
     context_dim: int = 768
     attn_impl: Optional[str] = None
     img_resolution: int = 512
+    # SD1.5 defaults; overridable for toy-size tests
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    transformer_depths: Tuple[int, ...] = (1, 1, 1, 0)
+    fixed_num_heads: int = 8
 
     def setup(self):
         self.unet = UNet2DCondition(
             in_channels=self.in_channels, out_channels=self.in_channels,
-            block_out_channels=(320, 640, 1280, 1280),
-            cross_attn_blocks=(True, True, True, False),
-            transformer_depths=(1, 1, 1, 0), fixed_num_heads=8,
+            block_out_channels=tuple(self.block_out_channels),
+            cross_attn_blocks=tuple(d > 0 for d in self.transformer_depths),
+            transformer_depths=tuple(self.transformer_depths),
+            fixed_num_heads=self.fixed_num_heads,
             context_dim=self.context_dim, attn_impl=self.attn_impl, name="unet")
 
     def _context(self, condition, batch, dtype):

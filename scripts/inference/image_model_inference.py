@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--mode", default="student", choices=["student", "teacher", "both"])
     p.add_argument("--num_samples", type=int, default=16)
     p.add_argument("--classes", default=None, help="comma-separated class ids")
+    p.add_argument("--prompt", default=None,
+                   help="text prompt (encoded with the model's text_encoder)")
+    p.add_argument("--neg_prompt", default="",
+                   help="negative prompt for CFG when --prompt is used")
     p.add_argument("--steps", type=int, default=None, help="student sample steps")
     p.add_argument("--teacher_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=None)
@@ -72,7 +76,16 @@ def main():
 
     label_dim = getattr(model.net, "label_dim", 0)
     cond = neg = None
-    if label_dim:
+    if args.prompt is not None:
+        if model.text_encoder is None:
+            raise SystemExit("--prompt requires model.text_encoder in the config")
+        cond = model.text_encoder.encode([args.prompt] * n,
+                                         precision=model.precision)
+        neg = model.text_encoder.encode([args.neg_prompt] * n,
+                                        precision=model.precision)
+        if not isinstance(cond, dict):
+            cond, neg = {"text_embeds": cond}, {"text_embeds": neg}
+    elif label_dim:
         if args.classes:
             ids = [int(c) for c in args.classes.split(",")]
             ids = (ids * ((n + len(ids) - 1) // len(ids)))[:n]
@@ -85,14 +98,21 @@ def main():
     steps = args.steps or config.model.student_sample_steps
     os.makedirs(args.outdir, exist_ok=True)
 
+    def to_pixels(latents):
+        """VAE-decode latent-space outputs (ref ``basic_utils.save_media``
+        decodes with the net's VAE before writing)."""
+        if model.vae is not None:
+            return model.vae.decode(latents, precision=model.precision)
+        return latents
+
     if args.mode in ("student", "both"):
         params_net = select_params(model, state, use_ema=args.use_ema)
         gen = model.generator_fn(params_net, noise, rng=key, condition=cond,
                                  student_sample_steps=steps,
                                  t_list=config.model.sample_t_cfg.t_list,
                                  student_sample_type=config.model.student_sample_type)
-        path = save_image_grid(gen, os.path.join(args.outdir,
-                                                 f"student_step{steps}_grid.png"))
+        path = save_image_grid(to_pixels(gen), os.path.join(
+            args.outdir, f"student_step{steps}_grid.png"))
         print(f"Student samples -> {path}")
 
     if args.mode in ("teacher", "both") and "teacher" in state.params:
@@ -102,7 +122,7 @@ def main():
         gen = teacher.apply(state.params["teacher"], noise, method=teacher.sample,
                             condition=cond, neg_condition=neg, guidance_scale=g,
                             num_steps=args.teacher_steps)
-        path = save_image_grid(gen, os.path.join(
+        path = save_image_grid(to_pixels(gen), os.path.join(
             args.outdir, f"teacher_cfg{g}_steps{args.teacher_steps}_grid.png"))
         print(f"Teacher samples -> {path}")
 

@@ -48,7 +48,7 @@ def save_image_grid(images, path: str):
     import numpy as np
     import PIL.Image
 
-    arr = np.asarray(images)
+    arr = np.nan_to_num(np.asarray(images, np.float32))
     arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
     n = arr.shape[0]
     side = int(np.ceil(np.sqrt(n)))
@@ -67,7 +67,8 @@ def save_images(images, out_dir: str, prefix: str):
     import PIL.Image
 
     os.makedirs(out_dir, exist_ok=True)
-    arr = np.clip((np.asarray(images) + 1) * 127.5, 0, 255).astype(np.uint8)
+    arr = np.nan_to_num(np.asarray(images, np.float32))
+    arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
     paths = []
     for i, img in enumerate(arr):
         p = os.path.join(out_dir, f"{prefix}_{i:05d}.png")
@@ -82,7 +83,8 @@ def save_video_frames(video, out_dir: str, prefix: str):
     import PIL.Image
 
     os.makedirs(out_dir, exist_ok=True)
-    arr = np.clip((np.asarray(video) + 1) * 127.5, 0, 255).astype(np.uint8)
+    arr = np.nan_to_num(np.asarray(video, np.float32))
+    arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
     for ti, frame in enumerate(arr):
         PIL.Image.fromarray(frame.squeeze()).save(
             os.path.join(out_dir, f"{prefix}_f{ti:04d}.png"))

@@ -7,8 +7,10 @@ ref ``causvid.py:187-397``)::
     python scripts/inference/video_model_inference.py --config=<config.py> \
         [--num_segments=1 --overlap_frames=1] [--steps=2] [--outdir=videos] [--cpu]
 
-Text conditions come from precomputed embeddings (``--text_emb=<npy>``) — the
-prompt-expansion / UMT5 encode path is gated behind the preprocessors API.
+Text conditions come from ``--prompt`` (encoded in-process with the model's
+text encoder, optionally rewritten with ``--prompt_expand``) or precomputed
+embeddings (``--text_emb=<npy>``). Latent outputs are VAE-decoded when the
+model carries a video VAE.
 """
 
 from __future__ import annotations
@@ -126,6 +128,11 @@ def main():
     else:
         parts = [segments[0]] + [s[:, args.overlap_frames:] for s in segments[1:]]
         video = np.concatenate(parts, axis=1)
+
+    if model.vae is not None:
+        # decode latent clips to pixel frames (ref video save path decodes
+        # with the Wan VAE before writing)
+        video = np.asarray(model.vae.decode(video, precision=model.precision))
 
     for i in range(n):
         out = save_video_frames(video[i], args.outdir, f"student_steps{steps}_{i}")
