@@ -135,6 +135,8 @@ class BaseModelConfig:
     vae: Optional[Any] = None
     text_encoder: Optional[Any] = None
     image_encoder: Optional[Any] = None
+    # VACE on-the-fly depth control (ref vace_depth_annotator.py:15-139)
+    depth_annotator: Optional[Any] = None
 
     # EMA: False, or a list of beta/halflife specs (see callbacks/ema.py)
     use_ema: Any = False

@@ -118,16 +118,25 @@ def preprocess_data(model, data: Dict[str, Any], augment_pipe=None,
             cond["encoder_hidden_states_image"] = image_encoder.encode(
                 real_raw[:, 0], precision=enc_dtype)
 
-        if getattr(net, "is_vid2vid", False):
-            prepare = getattr(model, "prepare_vid_conditioning", None) or \
-                getattr(net, "prepare_vid_conditioning", None)
-            if prepare is None:
-                raise ValueError("vid2vid net needs prepare_vid_conditioning")
-            if "depth_latent" in data:
-                cond["vid_context"] = prepare(real_raw,
-                                              condition_latents=data["depth_latent"])
+        if getattr(net, "is_vid2vid", False) and "vid_context" not in cond:
+            # VACE control context, by priority (ref trainer.py:443-452 +
+            # vace_depth_annotator.py): precomputed latents -> raw control
+            # video -> on-the-fly depth annotation -> the clip itself.
+            if "vid_context" in data or "depth_latent" in data:
+                cond["vid_context"] = jnp.asarray(
+                    data.get("vid_context", data.get("depth_latent")), enc_dtype)
             else:
-                cond["vid_context"] = prepare(real_raw)
+                ctrl = data.get("control_video")
+                annotator = getattr(model, "depth_annotator", None)
+                if ctrl is None and annotator is not None:
+                    # annotator expects [0,1] RGB; batch values are [-1,1]
+                    ctrl = annotator((real_raw + 1.0) * 0.5) * 2.0 - 1.0
+                elif ctrl is None:
+                    ctrl = real_raw
+                ctrl = jnp.asarray(ctrl)
+                if vae is not None and _needs_vae(ctrl, model.input_shape):
+                    ctrl = vae.encode(ctrl, mode="argmax", precision=enc_dtype)
+                cond["vid_context"] = ctrl.astype(enc_dtype)
 
         if getattr(net, "is_video2world", False):
             n_cond = getattr(net, "num_conditioning_frames", 1)

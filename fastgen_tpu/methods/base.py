@@ -132,7 +132,8 @@ class FastGenModel:
         self.vae = None
         self.text_encoder = None
         self.image_encoder = None
-        for name in ("vae", "text_encoder", "image_encoder"):
+        self.depth_annotator = None
+        for name in ("vae", "text_encoder", "image_encoder", "depth_annotator"):
             cfg = getattr(self.config, name, None)
             if cfg is not None and getattr(self.config, "enable_preprocessors", True):
                 logger.info(f"Instantiating frozen {name}")
@@ -335,11 +336,31 @@ class FastGenModel:
         return [use_ema] if not isinstance(use_ema, bool) else [0.9999]
 
     # --------------------------------------------------------------- losses
+    _VIDEO_COND_KEYS = ("vid_context", "first_frame_cond", "first_frame_latent",
+                        "conditioning_latents", "condition_mask",
+                        "encoder_hidden_states_image")
+
     def _prepare_training_data(self, batch):
         """(real, condition, neg_condition) from the batch dict
-        (ref ``model.py:431-485``; video condition assembly comes with the
-        video methods)."""
-        return batch["real"], batch.get("condition"), batch.get("neg_condition")
+        (ref ``model.py:431-485``). Video-conditioning sibling keys (e.g. the
+        latent-WDS loaders' ``vid_context``/``depth_latent``) are folded into
+        the condition dicts — CFG negates text only, so both positive and
+        negative conditions share them."""
+        cond, neg = batch.get("condition"), batch.get("neg_condition")
+        extra = {k: batch[k] for k in self._VIDEO_COND_KEYS if k in batch}
+        if "depth_latent" in batch and "vid_context" not in extra:
+            extra["vid_context"] = batch["depth_latent"]
+        if extra:
+            def merge(c):
+                if c is None:
+                    return dict(extra)
+                c = dict(c) if isinstance(c, dict) else {"text_embeds": c}
+                for k, v in extra.items():
+                    c.setdefault(k, v)
+                return c
+            cond, neg = merge(cond), (merge(neg) if neg is not None or cond is None
+                                      else neg)
+        return batch["real"], cond, neg
 
     def mix_condition(self, rng, condition, neg_condition, dropout_prob,
                       keys_no_dropout=()):
