@@ -311,3 +311,14 @@ DepthAnnotator_Config = L(build_depth_annotator)(
     variant="vitl",
     params_path=f"{OUTPUT_ROOT}/.cache/annotators/depth_anything_v2_vitl.pth",
     input_size=518)
+
+
+WanI2V_Test_Config = L(build_wan_i2v)(
+    dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+    out_channels=4, text_dim=32, rope_max_seq_len=64, image_embed_dim=16,
+    net_pred_type="flow", schedule_type="rf")
+
+VACEWan_Test_Config = L(build_vace_wan)(
+    dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+    out_channels=4, text_dim=32, rope_max_seq_len=64, num_vace_layers=1,
+    net_pred_type="flow", schedule_type="rf")

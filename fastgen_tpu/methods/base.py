@@ -226,8 +226,17 @@ class FastGenModel:
                                   dtype=self.precision)
         text_dim = getattr(net, "text_dim", 0)
         if text_dim:
-            return {"text_embeds": jnp.zeros((batch_size, 1, text_dim),
+            cond = {"text_embeds": jnp.zeros((batch_size, 1, text_dim),
                                              self.precision)}
+            # conditional branches must be traced at init so their params
+            # materialize (I2V image-context embedder, VACE context blocks)
+            if getattr(net, "is_i2v", False) and getattr(net, "image_embed_dim", 0):
+                cond["encoder_hidden_states_image"] = jnp.zeros(
+                    (batch_size, 1, net.image_embed_dim), self.precision)
+            if getattr(net, "is_vid2vid", False):
+                cond["vid_context"] = jnp.zeros(
+                    (batch_size,) + self.input_shape, self.precision)
+            return cond
         return None
 
     def init_order(self) -> Tuple[str, ...]:

@@ -510,21 +510,29 @@ class WanVideoDiT(FastGenNetwork):
         return result
 
     def sample(self, noise, condition=None, neg_condition=None,
-               guidance_scale: Optional[float] = 5.0, num_steps: int = 50, **kwargs):
-        """Euler flow sampler with CFG (teacher sampling; the reference uses
-        UniPC, ``Wan/network.py:919`` — Euler at 50 steps is the same family
-        of multi-step teacher sampling)."""
+               guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
+               skip_layers: Optional[Tuple[int, ...]] = None,
+               skip_layers_start_percent: float = 0.0, **kwargs):
+        """Euler flow sampler with CFG + skip-layer guidance (teacher
+        sampling; the reference uses UniPC, ``Wan/network.py:919`` — Euler at
+        50 steps is the same family of multi-step teacher sampling).
+        ``skip_layers`` drop transformer layers on the *unconditional* branch
+        from ``skip_layers_start_percent`` of the schedule onward
+        (ref ``Wan/network.py:927-982``)."""
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
         use_cfg = guidance_scale is not None and guidance_scale > 1.0 and \
             neg_condition is not None
         b = x.shape[0]
-        for t_cur, t_next in zip(t_list[:-1], t_list[1:]):
+        for idx, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
             tb = jnp.full((b,), t_cur, jnp.float32)
             v = self(x, tb, condition=condition, fwd_pred_type="flow")
             if use_cfg:
-                v_neg = self(x, tb, condition=neg_condition, fwd_pred_type="flow")
+                slg = (skip_layers if skip_layers is not None
+                       and idx >= skip_layers_start_percent * num_steps else None)
+                v_neg = self(x, tb, condition=neg_condition,
+                             fwd_pred_type="flow", skip_layers=slg)
                 v = v_neg + guidance_scale * (v - v_neg)
             x = x - jnp.asarray(t_cur - t_next, x.dtype) * v
         return x

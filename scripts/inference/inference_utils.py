@@ -90,3 +90,123 @@ def save_video_frames(video, out_dir: str, prefix: str):
             os.path.join(out_dir, f"{prefix}_f{ti:04d}.png"))
     np.savez_compressed(os.path.join(out_dir, f"{prefix}.npz"), video=arr)
     return out_dir
+
+
+# --------------------------------------------------------------------------
+# Conditioning-media loading + preparation (ref video_model_inference.py:
+# load_conditioning_video:63-125, load_conditioning_image:127-177, preparers
+# prepare_wani2v_condition:178 / prepare_cosmos_v2w_condition:254 /
+# prepare_vacewan_condition:296)
+# --------------------------------------------------------------------------
+
+def vae_scale_factors(vae):
+    """(temporal, spatial) compression of a VAE wrapper; (1, 1) without one."""
+    if vae is None:
+        return 1, 1
+    m = vae.module
+    sf = 2 ** (len(m.ch_mult) - 1)
+    tf = 2 ** sum(bool(b) for b in getattr(m, "temporal_downsample", ()))
+    return tf, sf
+
+
+def load_image_file(path: str, height: int, width: int):
+    """PNG/JPG -> [H, W, 3] float32 in [-1, 1] (bicubic resize)."""
+    import numpy as np
+    import PIL.Image
+
+    img = PIL.Image.open(path).convert("RGB").resize((width, height),
+                                                     PIL.Image.BICUBIC)
+    return np.asarray(img, np.float32) / 127.5 - 1.0
+
+
+def load_video_frames_file(path: str, num_frames: int, height: int, width: int):
+    """``.npy``/``.npz`` array or a directory of image frames -> [T, H, W, 3]
+    float32 in [-1, 1]. Short clips pad with the last frame; long clips use a
+    centered segment (ref ``video_model_inference.py:110-119``)."""
+    import numpy as np
+    import PIL.Image
+
+    if os.path.isdir(path):
+        files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        if not files:
+            raise FileNotFoundError(f"no image frames in {path}")
+        arr = np.stack([load_image_file(f, height, width) for f in files])
+    else:
+        arr = np.load(path)
+        if hasattr(arr, "files"):              # npz
+            arr = arr[arr.files[0]]
+        arr = np.asarray(arr, np.float32)
+        if arr.max() > 2.0:                    # uint8-range payload
+            arr = arr / 127.5 - 1.0
+        if arr.shape[1] != height or arr.shape[2] != width:
+            frames = [np.asarray(PIL.Image.fromarray(
+                np.clip((f + 1) * 127.5, 0, 255).astype(np.uint8)).resize(
+                    (width, height), PIL.Image.BICUBIC), np.float32) / 127.5 - 1.0
+                for f in arr]
+            arr = np.stack(frames)
+    t = arr.shape[0]
+    if t < num_frames:
+        arr = np.concatenate(
+            [arr, np.repeat(arr[-1:], num_frames - t, axis=0)], axis=0)
+    elif t > num_frames:
+        start = max(0, (t - num_frames) // 2)
+        arr = arr[start:start + num_frames]
+    return arr
+
+
+def prepare_video_conditions(model, prompts, neg_prompts=None, image=None,
+                             cond_video=None, rng=None):
+    """Build training-consistent condition dicts for the video CLI by running
+    the conditioning media through ``preprocess_data`` itself (the reference
+    re-implements per-model preparers; routing through the training path
+    guarantees the layouts match training exactly).
+
+    ``image`` [H,W,3] / ``cond_video`` [T,H,W,3] are pixels in [-1,1];
+    prompts are strings (encoded in-process) or precomputed embedding dicts.
+    Returns ``(condition, neg_condition)``.
+    """
+    import numpy as np
+    import jax
+    from fastgen_tpu.data.preprocess import preprocess_data
+
+    t_latent = model.input_shape[0]
+    tf, sf = vae_scale_factors(getattr(model, "vae", None))
+    pixel_t = 1 + tf * (t_latent - 1)
+    h, w = model.input_shape[1] * sf, model.input_shape[2] * sf
+
+    if cond_video is not None:
+        clip = np.asarray(cond_video, np.float32)
+    elif image is not None:
+        # replicate the image to the full pixel clip
+        # (ref load_conditioning_image:127-177)
+        clip = np.repeat(np.asarray(image, np.float32)[None], pixel_t, axis=0)
+    else:
+        clip = np.zeros((pixel_t, h, w, 3), np.float32)
+
+    batch = {"real": clip[None]}
+    if isinstance(prompts, (list, tuple)):
+        batch["condition"] = list(prompts)
+        batch["neg_condition"] = list(neg_prompts) if neg_prompts else \
+            [""] * len(prompts)
+    else:                                   # precomputed embedding dict/array
+        batch["condition"] = prompts
+        if neg_prompts is not None:
+            batch["neg_condition"] = neg_prompts
+    out = preprocess_data(model, batch,
+                          rng=rng if rng is not None else jax.random.PRNGKey(0))
+    cond, neg = out.get("condition"), out.get("neg_condition")
+    if cond is not None and not isinstance(cond, dict):
+        cond = {"text_embeds": cond}
+    if neg is not None and not isinstance(neg, dict):
+        neg = {"text_embeds": neg}
+    n = len(prompts) if isinstance(prompts, (list, tuple)) else None
+    if n and n > 1:
+        import jax.numpy as jnp
+        # conditioning media is shared across samples; broadcast batch-1 leaves
+        def rep(v):
+            return jnp.repeat(v, n, axis=0) if hasattr(v, "shape") and \
+                v.shape[:1] == (1,) else v
+        cond = {k: rep(v) for k, v in cond.items()} if cond else cond
+        neg = {k: rep(v) for k, v in neg.items()} if neg else neg
+    return cond, neg
