@@ -255,6 +255,13 @@ CosmosPredict2_2B_Config = L(build_cosmos)(
     dim=2048, num_layers=28, num_heads=16, ffn_dim=8192, in_channels=16,
     out_channels=16, text_dim=1024, rope_max_seq_len=1024)
 
+# 14B (ref ``configs/net.py`` CosmosPredict2_14B_Config: 5120 ch, 36 blocks,
+# 40 heads)
+CosmosPredict2_14B_Config = L(build_cosmos)(
+    dim=5120, num_layers=36, num_heads=40, ffn_dim=20480, in_channels=16,
+    out_channels=16, text_dim=1024, rope_max_seq_len=1024,
+    remat_mode="block_wise")
+
 WanI2V_14B_Config = L(build_wan_i2v)(
     dim=5120, num_layers=40, num_heads=40, ffn_dim=13824, in_channels=16,
     out_channels=16, text_dim=4096, rope_max_seq_len=1024, image_embed_dim=1280)

@@ -154,3 +154,36 @@ class CosmosPredict2(WanVideoDiT):
             return jnp.where(condition["condition_mask"].astype(bool),
                              condition["conditioning_latents"], x)
         return x
+
+    def sample(self, noise, condition=None, neg_condition=None,
+               guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
+               skip_layers: Optional[Tuple[int, ...]] = None,
+               skip_layers_start_percent: float = 0.0, **kwargs):
+        """Teacher sampler with CFG + SLG, text2world and video2world
+        (ref ``cosmos_predict2/network.py:1093-1270``, FlowUniPC there —
+        Euler flow stepping here; the reference's analytic-velocity
+        replacement for conditioning frames is equivalent to pinning them via
+        ``preserve_conditioning`` after every step, which is what we do).
+        ``__call__`` already gives conditioning frames t=0 and swaps them
+        into the input, so the loop only needs the per-step pin."""
+        import numpy as np
+
+        ns = self.noise_scheduler
+        t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
+        x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
+        x = self.preserve_conditioning(x, condition)
+        use_cfg = guidance_scale is not None and guidance_scale > 1.0 and \
+            neg_condition is not None
+        b = x.shape[0]
+        for idx, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
+            tb = jnp.full((b,), t_cur, jnp.float32)
+            v = self(x, tb, condition=condition, fwd_pred_type="flow")
+            if use_cfg:
+                slg = (skip_layers if skip_layers is not None
+                       and idx >= skip_layers_start_percent * num_steps else None)
+                v_neg = self(x, tb, condition=neg_condition,
+                             fwd_pred_type="flow", skip_layers=slg)
+                v = v_neg + guidance_scale * (v - v_neg)
+            x = x - jnp.asarray(t_cur - t_next, x.dtype) * v
+            x = self.preserve_conditioning(x, condition)
+        return x
