@@ -64,3 +64,28 @@ Discriminator_CogVideoX2B_Config = L(Discriminator_VideoDiT)(
 Discriminator_Wan_Config = L(Discriminator_VideoDiT)(
     feature_indices=None, num_blocks=30, disc_type="dit_conv1d_2d",
     inner_dim=1536 // 4)
+
+
+# 14B patchify: spatial-2, temporal-1; inner_dim=5120; 40 layers
+Discriminator_Wan_14B_Config = L(Discriminator_VideoDiT)(
+    feature_indices=None, num_blocks=40, disc_type="dit_simple_conv3d",
+    inner_dim=5120 // 4)
+
+# Wan2.2-5B: inner_dim=3072; 30 layers
+Discriminator_Wan22_5B_Config = L(Discriminator_VideoDiT)(
+    feature_indices=None, num_blocks=30, disc_type="dit_simple_conv3d",
+    inner_dim=3072 // 4)
+
+# CogVideoX-5B: inner_dim=3072; 42 layers
+Discriminator_CogVideoX5B_Config = L(Discriminator_VideoDiT)(
+    feature_indices=None, num_blocks=42, disc_type="dit_simple_conv3d",
+    inner_dim=3072 // 4)
+
+# Cosmos Predict2.5 (inner_dim must match the model's, ref discriminator.py)
+Discriminator_CosmosPredict2_2B_Config = L(Discriminator_VideoDiT)(
+    feature_indices=None, num_blocks=28, disc_type="dit_simple_conv3d",
+    inner_dim=2048)
+
+Discriminator_CosmosPredict2_14B_Config = L(Discriminator_VideoDiT)(
+    feature_indices=None, num_blocks=36, disc_type="dit_simple_conv3d",
+    inner_dim=5120)

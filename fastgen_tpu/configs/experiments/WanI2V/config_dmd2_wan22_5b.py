@@ -1,0 +1,25 @@
+"""DMD2 on Wan2.2-TI2V-5B I2V (ref
+``configs/experiments/WanI2V/config_dmd2_wan22_5b.py``): frame-replacement
+first-frame conditioning (no concat mask / image encoder)."""
+
+from __future__ import annotations
+
+import copy
+
+from fastgen_tpu.configs.experiments.WanT2V.config_dmd2_wan22_5b import (
+    create_config as create_t2v_config)
+from fastgen_tpu.configs.lazy import LazyCall as L
+from fastgen_tpu.configs.net import Wan22_I2V_5B_Config
+from fastgen_tpu.data.wds import WDSLoader
+
+
+def create_config():
+    config = create_t2v_config()
+    config.log_config.group = "wan_i2v"
+    config.log_config.name = "dmd2_wani2v_wan22_5b"
+    config.model.net = copy.deepcopy(Wan22_I2V_5B_Config)
+    config.dataloader_train = L(WDSLoader)(
+        datatags=["WDS:/path/to/wani2v_latents"], batch_size=1,
+        key_map={"real": "latent.npy", "condition": "txt_emb.npy",
+                 "first_frame_cond": "ff_cond.npy"})
+    return config

@@ -131,6 +131,12 @@ Wan_14B_Config = L(build_wan)(
     out_channels=16, text_dim=4096, rope_max_seq_len=1024,
     net_pred_type="flow", schedule_type="rf")
 
+CausalWan_14B_Config = L(build_causal_wan)(
+    dim=5120, num_layers=40, num_heads=40, ffn_dim=13824, in_channels=16,
+    out_channels=16, text_dim=4096, rope_max_seq_len=1024,
+    chunk_size=3, total_num_frames=21, frame_height=60, frame_width=104,
+    net_pred_type="flow", schedule_type="rf")
+
 CausalWan_1_3B_Config = L(build_causal_wan)(
     dim=1536, num_layers=30, num_heads=12, ffn_dim=8960, in_channels=16,
     out_channels=16, text_dim=4096, rope_max_seq_len=1024,
@@ -328,4 +334,25 @@ WanI2V_Test_Config = L(build_wan_i2v)(
 VACEWan_Test_Config = L(build_vace_wan)(
     dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
     out_channels=4, text_dim=32, rope_max_seq_len=64, num_vace_layers=1,
+    net_pred_type="flow", schedule_type="rf")
+
+
+# Wan2.2 TI2V-5B (ref ``configs/net.py`` Wan22_*_5B_Config; inner_dim 3072,
+# ``Wan/network.py:686-689`` expand_timesteps; 48-ch 16x-spatial VAE latents).
+Wan22_T2V_5B_Config = L(build_wan)(
+    dim=3072, num_layers=30, num_heads=24, ffn_dim=14336, in_channels=48,
+    out_channels=48, text_dim=4096, rope_max_seq_len=1024,
+    net_pred_type="flow", schedule_type="rf")
+
+# frame-replacement I2V (no concat mask, no CLIP image encoder;
+# ref ``WanI2V/network.py:184-190``)
+Wan22_I2V_5B_Config = L(build_wan_i2v)(
+    dim=3072, num_layers=30, num_heads=24, ffn_dim=14336, in_channels=48,
+    out_channels=48, text_dim=4096, rope_max_seq_len=1024,
+    concat_mask=False, net_pred_type="flow", schedule_type="rf")
+
+CausalWan22_I2V_5B_Config = L(build_causal_wan_i2v)(
+    dim=3072, num_layers=30, num_heads=24, ffn_dim=14336, in_channels=48,
+    out_channels=48, text_dim=4096, rope_max_seq_len=1024, concat_mask=False,
+    chunk_size=3, total_num_frames=21, frame_height=44, frame_width=80,
     net_pred_type="flow", schedule_type="rf")

@@ -28,6 +28,7 @@ class CosmosPredict2(WanVideoDiT):
 
     # video2world: conditioning latents + mask channel appended to the input
     is_video2world: bool = True
+    num_conditioning_frames: int = 1
     # 'none' | 'block_wise' | 'aggressive' (SACConfig equivalent)
     remat_mode: str = "none"
     net_pred_type: str = "flow"

@@ -150,11 +150,26 @@ class Discriminator_VideoDiT(Discriminator):
     * ``dit_conv1d_2d``     — factorized temporal-1D + spatial-2D convs
     * ``dit_attention``     — token-pooled attention head
     * ``dit_factorized``    — spatial then temporal reduction
+    * ``dit_multiscale`` / ``multiscale_down_mlp[_efficient|_medium|_large]``
+      — parallel per-scale pooled conv branches fused by an MLP
+      (ref ``_build_dit_multiscale_discriminator_head``,
+      ``discriminators.py:513-585``, preset table ``:779-810``)
     """
 
     num_blocks: int = 30
     inner_dim: int = 480
     disc_type: str = "dit_simple_conv3d"
+    # multiscale-head knobs (overridden by the named presets)
+    scales: Tuple[int, ...] = (1, 2, 4)
+    channel_reduction: int = 4
+    mlp_hidden_dim: int = 256
+
+    _MULTISCALE_PRESETS = {
+        "multiscale_down_mlp": ((1, 2, 4, 8), 2, 512),
+        "multiscale_down_mlp_efficient": ((1, 2, 4), 4, 256),
+        "multiscale_down_mlp_medium": ((1, 2, 4, 8), 2, 768),
+        "multiscale_down_mlp_large": ((1, 2, 4, 8, 16), 1, 1024),
+    }
 
     @property
     def resolved_feature_indices(self) -> Tuple[int, ...]:
@@ -205,6 +220,32 @@ class Discriminator_VideoDiT(Discriminator):
             h = nn.Conv(ch, (3,), padding=((1, 1),), name=f"{name}_tconv")(h)
             h = nn.silu(h)
             return jnp.mean(nn.Dense(1, name=f"{name}_out")(h), axis=1)
+        if self.disc_type == "dit_multiscale" or \
+                self.disc_type in self._MULTISCALE_PRESETS:
+            scales, reduction, mlp_dim = self._MULTISCALE_PRESETS.get(
+                self.disc_type,
+                (tuple(self.scales), self.channel_reduction, self.mlp_hidden_dim))
+            reduced = max(ch // reduction, 1)
+            branch_feats = []
+            for s in scales:
+                h = nn.Conv(reduced, (1, 1, 1), name=f"{name}_s{s}_c0")(f)
+                h = nn.leaky_relu(nn.GroupNorm(
+                    num_groups=_get_optimal_groups(reduced),
+                    name=f"{name}_s{s}_n0")(h), 0.2)
+                if s > 1:
+                    # clamp the window to the feature dims (tiny test inputs)
+                    win = tuple(min(s, d) for d in h.shape[1:4])
+                    h = nn.avg_pool(h, win, strides=win)
+                h = nn.Conv(reduced, (3, 3, 3),
+                            padding=((1, 1), (1, 1), (1, 1)),
+                            name=f"{name}_s{s}_c1")(h)
+                h = nn.leaky_relu(nn.GroupNorm(
+                    num_groups=_get_optimal_groups(reduced),
+                    name=f"{name}_s{s}_n1")(h), 0.2)
+                branch_feats.append(jnp.mean(h, axis=(1, 2, 3)))
+            combined = jnp.concatenate(branch_feats, axis=-1)
+            h = nn.leaky_relu(nn.Dense(mlp_dim, name=f"{name}_fc0")(combined), 0.2)
+            return nn.Dense(1, name=f"{name}_fc1")(h)
         raise ValueError(f"Unknown disc_type {self.disc_type!r}")
 
     @nn.compact

@@ -522,6 +522,9 @@ class WanVideoDiT(FastGenNetwork):
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
+        preserve = getattr(self, "preserve_conditioning", None)
+        if preserve is not None:
+            x = preserve(x, condition)
         use_cfg = guidance_scale is not None and guidance_scale > 1.0 and \
             neg_condition is not None
         b = x.shape[0]
@@ -535,6 +538,10 @@ class WanVideoDiT(FastGenNetwork):
                              fwd_pred_type="flow", skip_layers=slg)
                 v = v_neg + guidance_scale * (v - v_neg)
             x = x - jnp.asarray(t_cur - t_next, x.dtype) * v
+            # I2V/V2W subclasses pin conditioning frames after each step
+            # (ref WanI2V/network.py sample loop)
+            if preserve is not None:
+                x = preserve(x, condition)
         return x
 
 

@@ -129,3 +129,67 @@ def test_rope_offset_changes_output(setup):
                        cross_kv=cross_kv, store_kv=False, method=cnet.forward_chunk)
     # temporal RoPE offset must change attention (different phase rotation)...
     assert not np.allclose(np.asarray(o0), np.asarray(o2), atol=1e-6)
+
+
+def test_i2v_frame_replacement_variant():
+    """Wan2.2 TI2V (concat_mask=False): first latent frame pinned to the
+    clean conditioning latent, per-frame t=0 on frame 0
+    (ref ``WanI2V/network.py:184-190,297-341``)."""
+    from fastgen_tpu.networks.wan.network_i2v import WanI2V
+
+    kwargs = dict(dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+                  out_channels=4, text_dim=32, rope_max_seq_len=64,
+                  image_embed_dim=16)
+    net = WanI2V(concat_mask=False, **kwargs)
+    x, t, cond = inputs()
+    ffc = jax.random.normal(jax.random.PRNGKey(3), x[:, :1].shape)
+    cond = dict(cond, first_frame_cond=ffc, first_frame_latent=ffc)
+    params = net.init({"params": KEY}, x, t, condition=cond)
+    out = net.apply(params, x, t, condition=cond, fwd_pred_type="x0")
+    assert out.shape == x.shape
+    # output frame 0 is the clean conditioning latent
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(ffc[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+    # preserve_conditioning pins frame 0 as well
+    pinned = net.preserve_conditioning(x, cond)
+    np.testing.assert_array_equal(np.asarray(pinned[:, 0]), np.asarray(ffc[:, 0]))
+    # no mask channels: patch embedding consumes C channels (not C+4+C)
+    k = params["params"]["patch_embedding"]["kernel"]
+    assert k.shape[-2] == 4
+
+
+def test_causal_i2v_frame_replacement_chunks():
+    """Causal Wan2.2 I2V: only the chunk containing frame 0 is conditioned."""
+    from fastgen_tpu.networks.wan.network_i2v import CausalWanI2V
+
+    kwargs = dict(dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+                  out_channels=4, text_dim=32, rope_max_seq_len=64,
+                  chunk_size=2, total_num_frames=4, frame_height=8,
+                  frame_width=8)
+    net = CausalWanI2V(concat_mask=False, **kwargs)
+    x, t, cond = inputs()
+    ffc = jax.random.normal(jax.random.PRNGKey(3), x[:, :1].shape)
+    cond = dict(cond, first_frame_cond=ffc, first_frame_latent=ffc)
+    params = net.init({"params": KEY}, x, t, condition=cond)
+    cache = net.init_cache(batch_size=2, dtype=jnp.float32)
+    chunk = x[:, :2]
+    out0, _ = net.apply(params, chunk, t, cache, 0, condition=cond,
+                        method=net.forward_chunk)
+    out1, _ = net.apply(params, chunk, t, cache, 2, condition=cond,
+                        method=net.forward_chunk)
+    assert out0.shape == chunk.shape and out1.shape == chunk.shape
+    # chunk at start_frame=0 sees the clean first frame -> different output
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_multiscale_discriminator_head():
+    from fastgen_tpu.networks.discriminators import Discriminator_VideoDiT
+
+    disc = Discriminator_VideoDiT(feature_indices=(0, 1), num_blocks=2,
+                                  inner_dim=16,
+                                  disc_type="multiscale_down_mlp_large")
+    feats = [jax.random.normal(KEY, (2, 3, 4, 4, 16)) for _ in range(2)]
+    params = disc.init({"params": KEY}, feats)
+    logits = disc.apply(params, feats)
+    assert logits.shape == (2, 2)
+    assert np.isfinite(np.asarray(logits)).all()
