@@ -98,9 +98,18 @@ class WandbCallback(Callback):
         try:
             import PIL.Image
 
-            arr = np.asarray(gen)
+            # latent-space outputs decode through the model's VAE before
+            # saving (ref wandb.py get_sample_map VAE decode, :225-334)
+            vae = getattr(model, "vae", None)
+            if vae is not None and gen.shape[-1] == model.input_shape[-1] \
+                    and model.input_shape[-1] != 3:
+                gen = vae.decode(gen)
+            arr = np.asarray(gen, np.float32)
+            if arr.ndim == 5:        # video: save the middle frame per sample
+                arr = arr[:, arr.shape[1] // 2]
             if arr.ndim != 4:
                 return
+            arr = np.nan_to_num(arr)
             arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
             n = min(arr.shape[0], 16)
             side = int(np.ceil(np.sqrt(n)))

@@ -22,7 +22,7 @@ def create_config():
     config.model.pretrained_model_path = (
         f"{CKPT_ROOT_DIR}/imagenet-64/edm-imagenet-64x64-cond-adm.pth")
     # power-function EMA profiles (ref EMA_POWER_CALLBACKS)
-    config.model.use_ema = [{"gamma": 1.0}, {"gamma": 5.0}, {"gamma": 10.0}]
+    config.model.use_ema = [{"type": "power", "gamma": 1.0}, {"type": "power", "gamma": 5.0}, {"type": "power", "gamma": 10.0}]
     # on TPU bf16 replaces the reference's fp16 + GradScaler
     config.model.precision_amp = "bfloat16"
     config.model.sample_t_cfg.time_dist_type = "lognormal"

@@ -26,7 +26,7 @@ def create_config():
     config.model.sample_t_cfg.train_p_std = 1.2
     config.model.net_optimizer.lr = 2e-5
     # power-function EMA profiles (ref EMA_POWER_CALLBACKS)
-    config.model.use_ema = [{"gamma": 1.0}, {"gamma": 5.0}, {"gamma": 10.0}]
+    config.model.use_ema = [{"type": "power", "gamma": 1.0}, {"type": "power", "gamma": 5.0}, {"type": "power", "gamma": 10.0}]
     config.dataloader_train = copy.deepcopy(ImageNet64_Loader_Config)
     config.trainer.batch_size_global = 1024
     config.trainer.max_iter = 200_000

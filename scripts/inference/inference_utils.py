@@ -77,17 +77,24 @@ def save_images(images, out_dir: str, prefix: str):
     return paths
 
 
-def save_video_frames(video, out_dir: str, prefix: str):
-    """[-1,1] [T,H,W,C] -> per-frame PNGs + an .npz (no av codec in image)."""
+def save_video_frames(video, out_dir: str, prefix: str, fps: int = 16):
+    """[-1,1] [T,H,W,C] -> per-frame PNGs + an animated GIF + an .npz
+    (no av/ffmpeg codec in this image; GIF is the codec-free playable)."""
     import numpy as np
     import PIL.Image
 
     os.makedirs(out_dir, exist_ok=True)
     arr = np.nan_to_num(np.asarray(video, np.float32))
     arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+    frames = []
     for ti, frame in enumerate(arr):
-        PIL.Image.fromarray(frame.squeeze()).save(
-            os.path.join(out_dir, f"{prefix}_f{ti:04d}.png"))
+        img = PIL.Image.fromarray(frame.squeeze())
+        img.save(os.path.join(out_dir, f"{prefix}_f{ti:04d}.png"))
+        frames.append(img.convert("P", palette=PIL.Image.ADAPTIVE))
+    if len(frames) > 1:
+        frames[0].save(os.path.join(out_dir, f"{prefix}.gif"), save_all=True,
+                       append_images=frames[1:], duration=int(1000 / fps),
+                       loop=0)
     np.savez_compressed(os.path.join(out_dir, f"{prefix}.npz"), video=arr)
     return out_dir
 

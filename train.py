@@ -32,11 +32,28 @@ def parse_args():
     return args, overrides
 
 
+def maybe_init_multihost():
+    """Join the multi-host JAX cluster when launched across hosts — the
+    torchrun/NCCL-process-group equivalent (ref ``utils/distributed/ddp.py:
+    18-41``). ``jax.distributed.initialize`` reads the coordinator address /
+    process id / process count from the environment (or cloud-TPU metadata);
+    single-process runs skip it entirely."""
+    import jax
+
+    if os.environ.get("FASTGEN_MULTIHOST") or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
 def setup(args, overrides):
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    maybe_init_multihost()
+    import jax
+
     from fastgen_tpu.configs.config_utils import (
         import_config_from_python_file,
         override_config_with_opts,
@@ -45,7 +62,9 @@ def setup(args, overrides):
 
     config = import_config_from_python_file(args.config)
     override_config_with_opts(config, overrides)
-    save_config_yaml(config, os.path.join(config.log_config.save_path, "config.yaml"))
+    if jax.process_index() == 0:
+        save_config_yaml(config,
+                         os.path.join(config.log_config.save_path, "config.yaml"))
     return config
 
 
