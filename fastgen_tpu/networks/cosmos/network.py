@@ -158,6 +158,7 @@ class CosmosPredict2(WanVideoDiT):
 
     def sample(self, noise, condition=None, neg_condition=None,
                guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
+               shift: float = 5.0,
                skip_layers: Optional[Tuple[int, ...]] = None,
                skip_layers_start_percent: float = 0.0, **kwargs):
         """Teacher sampler with CFG + SLG, text2world and video2world
@@ -171,6 +172,8 @@ class CosmosPredict2(WanVideoDiT):
 
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
+        if shift and shift != 1.0:   # UniPC flow_shift grid (Cosmos default 5.0)
+            t_list = shift * t_list / (1.0 + (shift - 1.0) * t_list)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
         x = self.preserve_conditioning(x, condition)
         use_cfg = guidance_scale is not None and guidance_scale > 1.0 and \

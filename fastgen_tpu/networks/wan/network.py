@@ -511,16 +511,20 @@ class WanVideoDiT(FastGenNetwork):
 
     def sample(self, noise, condition=None, neg_condition=None,
                guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
+               shift: float = 5.0,
                skip_layers: Optional[Tuple[int, ...]] = None,
                skip_layers_start_percent: float = 0.0, **kwargs):
         """Euler flow sampler with CFG + skip-layer guidance (teacher
         sampling; the reference uses UniPC, ``Wan/network.py:919`` — Euler at
         50 steps is the same family of multi-step teacher sampling).
-        ``skip_layers`` drop transformer layers on the *unconditional* branch
-        from ``skip_layers_start_percent`` of the schedule onward
-        (ref ``Wan/network.py:927-982``)."""
+        ``shift`` warps the timestep grid like UniPC's ``flow_shift``
+        (more steps near t=1). ``skip_layers`` drop transformer layers on the
+        *unconditional* branch from ``skip_layers_start_percent`` of the
+        schedule onward (ref ``Wan/network.py:927-982``)."""
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
+        if shift and shift != 1.0:
+            t_list = shift * t_list / (1.0 + (shift - 1.0) * t_list)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
         preserve = getattr(self, "preserve_conditioning", None)
         if preserve is not None:

@@ -172,3 +172,39 @@ def test_video_discriminator_heads(disc_type):
     logits = d.apply(params, feats)
     assert logits.ndim == 2 and logits.shape[0] == 2
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_cosmos_teacher_sampler_v2w():
+    """Cosmos teacher sampler (ref ``cosmos_predict2/network.py:1093-1270``):
+    flow-shift grid, CFG + SLG, conditioning frames pinned every step."""
+    net = CosmosPredict2(**WAN_KW)
+    x, t, cond = video_inputs()
+    cond = dict(cond)
+    cond["conditioning_latents"] = jax.random.normal(KEY, (2, 4, 8, 8, 4))
+    cond["condition_mask"] = jnp.concatenate(
+        [jnp.ones((2, 1, 8, 8, 1)), jnp.zeros((2, 3, 8, 8, 1))], axis=1)
+    params = net.init({"params": KEY}, x, t, condition=cond)
+    noise = jax.random.normal(jax.random.PRNGKey(5), x.shape)
+    out = net.apply(params, noise, method=net.sample, condition=cond,
+                    neg_condition=cond, guidance_scale=2.0, num_steps=2,
+                    shift=5.0, skip_layers=(0,))
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(
+        np.asarray(out[:, 0]), np.asarray(cond["conditioning_latents"][:, 0]))
+
+
+def test_wan_sampler_shift_grid_changes_output():
+    """flow_shift warps the teacher t grid (ref UniPC flow_shift)."""
+    from fastgen_tpu.networks.wan.network import WanVideoDiT
+
+    net = WanVideoDiT(**WAN_KW)
+    x, t, cond = video_inputs()
+    params = net.init({"params": KEY}, x, t, condition=cond)
+    noise = jax.random.normal(jax.random.PRNGKey(5), x.shape)
+    kw = dict(condition=cond, neg_condition=None, guidance_scale=None,
+              num_steps=2)
+    out_a = net.apply(params, noise, method=net.sample, shift=1.0, **kw)
+    out_b = net.apply(params, noise, method=net.sample, shift=5.0, **kw)
+    assert np.isfinite(np.asarray(out_a)).all()
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
