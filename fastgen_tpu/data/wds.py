@@ -108,9 +108,11 @@ class BaseWDSLoader:
     (ref ``wds_utils.py:364``)."""
 
     def __init__(self, datatags: List[str], batch_size: int = 32, shuffle: bool = True,
-                 seed: int = 0, sampler_start_idx: int = 0, **kwargs):
+                 seed: int = 0, sampler_start_idx: int = 0, prefetch: int = 2,
+                 **kwargs):
         self.shards = resolve_datatags(datatags)
         self.batch_size = batch_size
+        self.prefetch = prefetch
         self.shuffle = shuffle
         self.seed = seed
         self.start_idx = sampler_start_idx
@@ -148,7 +150,7 @@ class BaseWDSLoader:
                 out[k] = vals
         return out
 
-    def __iter__(self):
+    def _iter_batches(self):
         it = self.iter_samples()
         skip = self.start_idx // max(self.world, 1)
         batch: List[Dict[str, Any]] = []
@@ -164,6 +166,13 @@ class BaseWDSLoader:
             if len(batch) == self.batch_size:
                 yield self.collate(batch)
                 batch = []
+
+    def __iter__(self):
+        # overlap tar read + decode with device compute (the reference's
+        # DataLoader num_workers equivalent)
+        from fastgen_tpu.data.prefetch import prefetch_iter
+
+        yield from prefetch_iter(self._iter_batches(), self.prefetch)
 
 
 class WDSLoader(BaseWDSLoader):
@@ -260,6 +269,12 @@ class DeterministicWDS(WDSLoader):
         return self._total
 
     def __iter__(self):
+        from fastgen_tpu.data.prefetch import prefetch_iter
+
+        # the queue preserves order, so prefetch keeps exact-resume semantics
+        yield from prefetch_iter(self._iter_batches(), self.prefetch)
+
+    def _iter_batches(self):
         # world-strided: process r takes global samples r, r+world, ... exactly
         # like the InfiniteSampler, so global batches tile deterministically
         idx = self.start_idx + self.rank
