@@ -208,3 +208,27 @@ def test_wan_sampler_shift_grid_changes_output():
     out_b = net.apply(params, noise, method=net.sample, shift=5.0, **kw)
     assert np.isfinite(np.asarray(out_a)).all()
     assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_causal_vace_context_injection():
+    """CausalVACEWan (ref ``VaceWan/network_causal.py``): block-causal forward
+    with VACE context residuals; context scaling changes the output."""
+    from fastgen_tpu.networks.wan.network_vace import CausalVACEWan
+
+    net = CausalVACEWan(num_vace_layers=1, chunk_size=2, total_num_frames=4,
+                        frame_height=8, frame_width=8, **WAN_KW)
+    x, t, cond = video_inputs()
+    cond = dict(cond)
+    cond["vid_context"] = jax.random.normal(KEY, (2, 4, 8, 8, 4))
+    params = net.init({"params": KEY}, x, t, condition=cond)
+    out = net.apply(params, x, t, condition=cond)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    cond2 = dict(cond, vid_context=cond["vid_context"] * 2.0)
+    out2 = net.apply(params, x, t, condition=cond2)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    # block-causality holds with context: chunk 0 output is independent of
+    # later-chunk input
+    x_mod = x.at[:, 2:].set(0.0)
+    out_mod = net.apply(params, x_mod, t, condition=cond)
+    np.testing.assert_allclose(np.asarray(out[:, :2]),
+                               np.asarray(out_mod[:, :2]), rtol=2e-4, atol=2e-5)
