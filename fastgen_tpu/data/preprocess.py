@@ -68,11 +68,12 @@ def preprocess_data(model, data: Dict[str, Any], augment_pipe=None,
     image_encoder = getattr(model, "image_encoder", None)
     enc_dtype = getattr(model, "precision_amp_enc", None) or model.precision
 
-    if augment_pipe is not None:
-        data = augment_pipe(data)
-
     if rng is None:
         rng = jax.random.PRNGKey(0)
+
+    if augment_pipe is not None:
+        rng, sub = jax.random.split(rng)
+        data = augment_pipe(sub, data)
 
     # ---- data / noise -> latents (ref trainer.py:399-407)
     for k in ("real", "noise"):

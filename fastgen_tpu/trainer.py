@@ -51,6 +51,10 @@ class Trainer:
         jax.config.update("jax_default_matmul_precision",
                           config.trainer.matmul.matmul_precision)
         set_global_vars(config.trainer.global_vars)
+        # ADA augmentation pipe (ref trainer passes it into preprocess;
+        # ``datasets/augment.py`` aug labels feed condition["aug_condition"])
+        self.augment_pipe = (instantiate(config.trainer.augment_pipe)
+                             if config.trainer.augment_pipe is not None else None)
         logger.info(f"Mesh: {dict(self.mesh.shape)} over {len(jax.devices())} devices")
 
     # ------------------------------------------------------------------ setup
@@ -200,7 +204,8 @@ class Trainer:
         ref ``trainer.py:374-476``) -> shard onto the mesh."""
         batch = next(train_iter)
         if getattr(self.config.model, "enable_preprocessors", True):
-            batch = preprocess_data(model, batch, rng=rng)
+            batch = preprocess_data(model, batch, augment_pipe=self.augment_pipe,
+                                    rng=rng)
         # raw pixels/prompts are host-side context, not step inputs
         batch = {k: v for k, v in batch.items() if not k.endswith("_raw")}
         return mesh_lib.shard_batch(batch, self.mesh)
