@@ -86,6 +86,34 @@ class WandbCallback(Callback):
             self._log(record)
             self._accum, self._accum_n = {}, 0
 
+    def _dump_grid(self, model, gen, name: str):
+        import PIL.Image
+
+        # latent-space outputs decode through the model's VAE before
+        # saving (ref wandb.py get_sample_map VAE decode, :225-334)
+        vae = getattr(model, "vae", None)
+        if vae is not None and gen.shape[-1] == model.input_shape[-1] \
+                and model.input_shape[-1] != 3:
+            gen = vae.decode(gen)
+        arr = np.asarray(gen, np.float32)
+        if arr.ndim == 5:        # video: save the middle frame per sample
+            arr = arr[:, arr.shape[1] // 2]
+        if arr.ndim != 4:
+            return
+        arr = np.nan_to_num(arr)
+        arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
+        n = min(arr.shape[0], 16)
+        side = int(np.ceil(np.sqrt(n)))
+        h, w, c = arr.shape[1:]
+        grid = np.zeros((side * h, side * w, c), np.uint8)
+        for i in range(n):
+            r, col = divmod(i, side)
+            grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = arr[i]
+        out_dir = os.path.join(self.config.log_config.save_path, "samples")
+        os.makedirs(out_dir, exist_ok=True)
+        PIL.Image.fromarray(grid.squeeze()).save(
+            os.path.join(out_dir, f"{name}.png"))
+
     def on_validation_step_end(self, model, state=None, data_batch=None,
                                loss_map=None, outputs=None, iteration=0, idx=0):
         if not is_rank0() or not outputs:
@@ -96,34 +124,30 @@ class WandbCallback(Callback):
         if gen is None:
             return
         try:
-            import PIL.Image
-
-            # latent-space outputs decode through the model's VAE before
-            # saving (ref wandb.py get_sample_map VAE decode, :225-334)
-            vae = getattr(model, "vae", None)
-            if vae is not None and gen.shape[-1] == model.input_shape[-1] \
-                    and model.input_shape[-1] != 3:
-                gen = vae.decode(gen)
-            arr = np.asarray(gen, np.float32)
-            if arr.ndim == 5:        # video: save the middle frame per sample
-                arr = arr[:, arr.shape[1] // 2]
-            if arr.ndim != 4:
-                return
-            arr = np.nan_to_num(arr)
-            arr = np.clip((arr + 1) * 127.5, 0, 255).astype(np.uint8)
-            n = min(arr.shape[0], 16)
-            side = int(np.ceil(np.sqrt(n)))
-            h, w, c = arr.shape[1:]
-            grid = np.zeros((side * h, side * w, c), np.uint8)
-            for i in range(n):
-                r, col = divmod(i, side)
-                grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = arr[i]
-            out_dir = os.path.join(self.config.log_config.save_path, "samples")
-            os.makedirs(out_dir, exist_ok=True)
-            PIL.Image.fromarray(grid.squeeze()).save(
-                os.path.join(out_dir, f"iter_{int(iteration):07d}_{idx}.png"))
+            self._dump_grid(model, gen, f"iter_{int(iteration):07d}_{idx}")
         except Exception as e:
             logger.warning(f"sample dump failed: {e}")
+        # teacher reference samples beside the student's
+        # (ref wandb.py:241 visualize_teacher)
+        if getattr(self.config.trainer, "visualize_teacher", False) and \
+                idx == 0 and state is not None and "teacher" in state.params \
+                and model.teacher is not None and hasattr(model.teacher, "sample"):
+            try:
+                import jax
+
+                n = min(int(gen.shape[0]), 4)
+                noise = jax.random.normal(
+                    jax.random.PRNGKey(int(iteration)),
+                    (n,) + tuple(model.input_shape), model.precision)
+                cond = model.example_condition(n)
+                teacher = model.teacher
+                gen_t = teacher.apply(state.params["teacher"], noise,
+                                      method=teacher.sample, condition=cond,
+                                      num_steps=8)
+                self._dump_grid(model, gen_t,
+                                f"iter_{int(iteration):07d}_teacher")
+            except Exception as e:
+                logger.warning(f"teacher sample dump failed: {e}")
 
     def on_app_end(self, model=None, iteration=0):
         if self._wandb is not None:
