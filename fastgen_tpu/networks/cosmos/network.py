@@ -158,7 +158,7 @@ class CosmosPredict2(WanVideoDiT):
 
     def sample(self, noise, condition=None, neg_condition=None,
                guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
-               shift: float = 5.0,
+               shift: float = 5.0, solver: str = "euler",
                skip_layers: Optional[Tuple[int, ...]] = None,
                skip_layers_start_percent: float = 0.0, **kwargs):
         """Teacher sampler with CFG + SLG, text2world and video2world
@@ -170,6 +170,16 @@ class CosmosPredict2(WanVideoDiT):
         into the input, so the loop only needs the per-step pin."""
         import numpy as np
 
+        if solver == "dpm2m":
+            # the generic multistep branch in WanVideoDiT.sample handles CFG,
+            # SLG and per-step conditioning preservation
+            from fastgen_tpu.networks.wan.network import WanVideoDiT
+
+            return WanVideoDiT.sample(
+                self, noise, condition=condition, neg_condition=neg_condition,
+                guidance_scale=guidance_scale, num_steps=num_steps,
+                shift=shift, solver="dpm2m", skip_layers=skip_layers,
+                skip_layers_start_percent=skip_layers_start_percent, **kwargs)
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
         if shift and shift != 1.0:   # UniPC flow_shift grid (Cosmos default 5.0)

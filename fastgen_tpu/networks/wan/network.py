@@ -498,8 +498,11 @@ class WanVideoDiT(FastGenNetwork):
         out = self._unpatchify(x, grid, x_t.shape[0])
 
         t_conv = t_in if t_in.ndim == 1 else t_in[:, :, None, None, None]
+        # conditioned variants (I2V concat-mask) widen the input channels;
+        # pred-type algebra runs on the noisy-latent slice only
         out = self.noise_scheduler.convert_model_output(
-            x_in, out, t_conv, src_pred_type=self.net_pred_type,
+            x_in[..., :out.shape[-1]], out, t_conv,
+            src_pred_type=self.net_pred_type,
             target_pred_type=fwd_pred_type or self.net_pred_type)
 
         result = out if not feature_indices else [out, features]
@@ -511,7 +514,7 @@ class WanVideoDiT(FastGenNetwork):
 
     def sample(self, noise, condition=None, neg_condition=None,
                guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
-               shift: float = 5.0,
+               shift: float = 5.0, solver: str = "euler",
                skip_layers: Optional[Tuple[int, ...]] = None,
                skip_layers_start_percent: float = 0.0, **kwargs):
         """Euler flow sampler with CFG + skip-layer guidance (teacher
@@ -525,6 +528,32 @@ class WanVideoDiT(FastGenNetwork):
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
         if shift and shift != 1.0:
             t_list = shift * t_list / (1.0 + (shift - 1.0) * t_list)
+        if solver == "dpm2m":
+            # second-order data-prediction multistep (the TPU-native UniPC
+            # equivalent, ops/solvers.py) — CFG on x0 is algebraically the
+            # same combination as on velocity for affine schedules
+            from fastgen_tpu.ops.solvers import dpm_solver_2m
+
+            use_cfg_ms = guidance_scale is not None and guidance_scale > 1.0 \
+                and neg_condition is not None
+            n_steps = len(t_list) - 1
+            step_idx = {float(t): i for i, t in enumerate(t_list)}
+
+            def x0_fn(x, t_cur):
+                tb = jnp.full((x.shape[0],), t_cur, jnp.float32)
+                x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
+                if use_cfg_ms:
+                    idx = step_idx.get(float(t_cur), 0)
+                    slg = (skip_layers if skip_layers is not None
+                           and idx >= skip_layers_start_percent * n_steps
+                           else None)
+                    x0_neg = self(x, tb, condition=neg_condition,
+                                  fwd_pred_type="x0", skip_layers=slg)
+                    x0 = x0_neg + guidance_scale * (x0 - x0_neg)
+                preserve_ = getattr(self, "preserve_conditioning", None)
+                return preserve_(x0, condition) if preserve_ is not None else x0
+
+            return dpm_solver_2m(x0_fn, ns, noise, t_list)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
         preserve = getattr(self, "preserve_conditioning", None)
         if preserve is not None:
@@ -648,7 +677,8 @@ class CausalWanVideoDiT(WanVideoDiT, CausalFastGenNetwork):
         out = self._unpatchify(x, grid, b)
 
         out = self.noise_scheduler.convert_model_output(
-            x_chunk, out, t, src_pred_type=self.net_pred_type,
+            x_chunk[..., :out.shape[-1]], out, t,
+            src_pred_type=self.net_pred_type,
             target_pred_type=fwd_pred_type or self.net_pred_type)
 
         if store_kv:

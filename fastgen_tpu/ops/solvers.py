@@ -1,0 +1,85 @@
+"""Multistep ODE solvers for teacher sampling.
+
+The reference samples its video/image teachers with diffusers'
+``UniPCMultistepScheduler`` (``Wan/network.py:919``, ``cosmos_predict2/
+network.py:1152``) / DPM (``CogVideoX/network.py:584``) — high-order
+data-prediction multistep methods that reach 50-step Euler quality in
+20–30 steps. This module provides a TPU-native equivalent:
+**DPM-Solver++(2M)** (Lu et al. 2022, the method UniPC reduces to at order 2
+without the corrector), written against the framework's noise-schedule
+algebra so every ``alpha(t)/sigma(t)`` schedule (RF, EDM, DDPM-table) uses
+the same code.
+
+Update rule in log-SNR time (lambda = log(alpha/sigma), h_i = lambda_{i+1} -
+lambda_i), data-prediction form::
+
+    D_i     = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1},  r_i = h_{i-1}/h_i
+    x_{i+1} = (sigma_{i+1}/sigma_i) x_i - alpha_{i+1} (e^{-h_i} - 1) D_i
+
+with a first-order (DDIM) step for i = 0. Everything is Python-level over a
+static t grid, so under ``jit`` it unrolls into one XLA program exactly like
+the Euler loops it replaces.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["dpm_solver_2m", "shifted_t_grid"]
+
+_EPS = 1e-8
+
+
+def shifted_t_grid(max_t: float, num_steps: int, shift: float = 1.0) -> np.ndarray:
+    """Descending t grid with UniPC's flow-shift warp (more steps near t=1)."""
+    t = np.linspace(max_t, 0.0, num_steps + 1)
+    if shift and shift != 1.0:
+        t = shift * t / (1.0 + (shift - 1.0) * t)
+    return t
+
+
+def dpm_solver_2m(x0_fn: Callable, noise_schedule, noise: jnp.ndarray,
+                  t_list: Sequence[float],
+                  latents: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Integrate from ``t_list[0]`` down to ``t_list[-1]``.
+
+    ``x0_fn(x, t_scalar) -> x0`` is one denoising forward returning the data
+    prediction (callers convert via ``fwd_pred_type='x0'``); ``noise`` seeds
+    the initial latents unless ``latents`` is given. The final step returns
+    the last x0 prediction when ``t_list[-1] == 0`` (sigma -> 0 limit).
+    """
+    ns = noise_schedule
+    t_list = [float(t) for t in t_list]
+
+    def a(t):
+        return float(np.asarray(ns.alpha(jnp.float32(t))))
+
+    def s(t):
+        return max(float(np.asarray(ns.sigma(jnp.float32(t)))), 0.0)
+
+    x = ns.latents(noise, t_init=jnp.asarray(t_list[0], jnp.float32)) \
+        if latents is None else latents
+    lam = [np.log(max(a(t), _EPS) / max(s(t), _EPS)) for t in t_list]
+
+    x0_prev, h_prev = None, None
+    for i in range(len(t_list) - 1):
+        t_cur, t_next = t_list[i], t_list[i + 1]
+        x0_cur = x0_fn(x, t_cur)
+        if s(t_next) <= _EPS or t_next <= 0.0:
+            x = x0_cur            # sigma -> 0: the ODE endpoint is x0
+            break
+        h = lam[i + 1] - lam[i]
+        ratio = s(t_next) / max(s(t_cur), _EPS)
+        phi = np.expm1(-h)
+        if x0_prev is None or h_prev is None or abs(h_prev) < _EPS:
+            d = x0_cur            # first-order (DDIM) warmup step
+        else:
+            r = h_prev / h
+            d = (1.0 + 1.0 / (2.0 * r)) * x0_cur - (1.0 / (2.0 * r)) * x0_prev
+        x = jnp.asarray(ratio, x.dtype) * x - \
+            jnp.asarray(a(t_next) * phi, x.dtype) * d.astype(x.dtype)
+        x0_prev, h_prev = x0_cur, h
+    return x

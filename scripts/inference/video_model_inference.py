@@ -56,6 +56,8 @@ def parse_args():
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--teacher_steps", type=int, default=50)
+    p.add_argument("--solver", default="euler", choices=["euler", "dpm2m"],
+                   help="teacher ODE solver (dpm2m = UniPC-class multistep)")
     p.add_argument("--guidance_scale", type=float, default=None)
     p.add_argument("--skip_layers", default=None,
                    help="comma-separated layer ids for skip-layer guidance "
@@ -203,7 +205,7 @@ def main():
         key, sub = jax.random.split(key)
         noise = jax.random.normal(sub, (n,) + shape, model.precision)
         sample_kw = dict(condition=cond, neg_condition=neg, guidance_scale=g,
-                         num_steps=args.teacher_steps)
+                         num_steps=args.teacher_steps, solver=args.solver)
         if skip_layers is not None:
             sample_kw.update(skip_layers=skip_layers,
                              skip_layers_start_percent=args.skip_layers_start_percent)

@@ -193,3 +193,30 @@ def test_multiscale_discriminator_head():
     logits = disc.apply(params, feats)
     assert logits.shape == (2, 2)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_i2v_concat_mask_pred_type_conversion():
+    """Regression: fwd_pred_type conversion must run on the noisy-latent
+    slice, not the widened concat-mask input (x + 4ch mask + latents)."""
+    from fastgen_tpu.networks.wan.network_i2v import WanI2V
+
+    net = WanI2V(dim=96, num_layers=1, num_heads=4, ffn_dim=128, in_channels=4,
+                 out_channels=4, text_dim=32, rope_max_seq_len=64,
+                 image_embed_dim=16, net_pred_type="flow", schedule_type="rf")
+    x, t, cond = inputs(b=1)
+    ffc = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 8, 8, 8))
+    cond = dict(cond, first_frame_cond=ffc, first_frame_latent=ffc[..., 4:])
+    params = net.init({"params": KEY}, x[:1], t[:1], condition=cond)
+    for pred in ("x0", "eps", "v", "flow"):
+        out = net.apply(params, x[:1], t[:1], condition=cond,
+                        fwd_pred_type=pred)
+        assert out.shape == x[:1].shape
+        assert np.isfinite(np.asarray(out)).all()
+    # algebra consistency: flow output converts to the same x0 externally
+    ns = net.noise_scheduler
+    v = net.apply(params, x[:1], t[:1], condition=cond, fwd_pred_type="flow")
+    x0 = net.apply(params, x[:1], t[:1], condition=cond, fwd_pred_type="x0")
+    x0_ext = ns.convert_model_output(x[:1], v, t[:1], src_pred_type="flow",
+                                     target_pred_type="x0")
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x0_ext), rtol=2e-4,
+                               atol=2e-4)

@@ -1,0 +1,101 @@
+"""DPM-Solver++(2M) tests (``fastgen_tpu/ops/solvers.py`` — the TPU-native
+equivalent of the reference's UniPC teacher sampling, ``Wan/network.py:919``).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastgen_tpu.networks.wan.network import WanVideoDiT
+from fastgen_tpu.ops.solvers import dpm_solver_2m, shifted_t_grid
+
+KEY = jax.random.PRNGKey(0)
+KW = dict(dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+          out_channels=4, text_dim=32, rope_max_seq_len=64,
+          net_pred_type="flow", schedule_type="rf")
+
+
+@pytest.fixture(scope="module")
+def wan():
+    net = WanVideoDiT(**KW)
+    x = jax.random.normal(KEY, (1, 3, 8, 8, 4))
+    t = jnp.array([0.5])
+    cond = {"text_embeds": jax.random.normal(KEY, (1, 4, 32))}
+    params = net.init({"params": KEY}, x, t, condition=cond)
+    return net, params, cond
+
+
+def test_shifted_grid():
+    g = shifted_t_grid(0.999, 4, shift=3.0)
+    assert g[0] == pytest.approx(3 * 0.999 / (1 + 2 * 0.999))
+    assert g[-1] == 0.0
+    assert np.all(np.diff(g) < 0)
+
+
+def test_dpm2m_second_order_convergence():
+    """On a smooth synthetic flow ODE over the interior interval (away from
+    the t->0/1 endpoint singularities), dpm2m must show ~2nd-order
+    convergence and beat Euler by a widening margin as steps double.
+    (A random-weight net has non-smooth x0 trajectories, so solver order is
+    only observable on a smooth problem.)"""
+    from fastgen_tpu.ops.schedules import get_noise_schedule
+
+    ns = get_noise_schedule("rf")
+    x_init = jax.random.normal(KEY, (2, 8, 8, 3))
+
+    def x0_fn(x, t):
+        return jnp.tanh(x) * (1.0 - 0.5 * float(t))
+
+    def grid(steps):
+        return np.linspace(0.9, 0.1, steps + 1)
+
+    def euler(steps):
+        x = x_init
+        for tc, tn in zip(grid(steps)[:-1], grid(steps)[1:]):
+            v = (x - x0_fn(x, tc)) / float(tc)
+            x = x - (float(tc) - float(tn)) * v
+        return np.asarray(x)
+
+    ref = euler(4000)
+    errs = {}
+    for s in (16, 32):
+        errs[("euler", s)] = np.abs(euler(s) - ref).mean()
+        d = np.asarray(dpm_solver_2m(x0_fn, ns, x_init, grid(s),
+                                     latents=x_init))
+        errs[("dpm", s)] = np.abs(d - ref).mean()
+    assert errs[("dpm", 16)] < errs[("euler", 16)]
+    assert errs[("dpm", 32)] < 0.4 * errs[("euler", 32)]
+    # ~2nd order: halving h cuts the error by ~4x (allow slack)
+    assert errs[("dpm", 32)] < 0.35 * errs[("dpm", 16)]
+
+
+def test_dpm2m_on_wan_runs(wan):
+    net, params, cond = wan
+    noise = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 8, 8, 4))
+    out = np.asarray(net.apply(params, noise, method=net.sample,
+                               condition=cond, guidance_scale=None,
+                               num_steps=6, solver="dpm2m"))
+    assert out.shape == noise.shape and np.isfinite(out).all()
+
+
+def test_dpm2m_with_cfg_and_slg(wan):
+    net, params, cond = wan
+    noise = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 8, 8, 4))
+    out = net.apply(params, noise, method=net.sample, condition=cond,
+                    neg_condition={"text_embeds": jnp.zeros((1, 4, 32))},
+                    guidance_scale=2.0, num_steps=3, solver="dpm2m",
+                    skip_layers=(0,), skip_layers_start_percent=0.5)
+    assert out.shape == noise.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_dpm2m_exact_on_constant_x0():
+    """With x0_fn ≡ c the flow ODE's solution at t=0 is exactly c."""
+    from fastgen_tpu.ops.schedules import get_noise_schedule
+
+    ns = get_noise_schedule("rf")
+    c = jnp.full((1, 4, 4, 2), 0.7)
+    out = dpm_solver_2m(lambda x, t: c, ns,
+                        jax.random.normal(KEY, c.shape),
+                        shifted_t_grid(0.999, 6))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(c), rtol=1e-5)
