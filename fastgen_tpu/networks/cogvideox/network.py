@@ -182,11 +182,29 @@ class CogVideoX(FastGenNetwork):
         return result
 
     def sample(self, noise, condition=None, neg_condition=None,
-               guidance_scale: Optional[float] = 6.0, num_steps: int = 50, **kwargs):
-        """DDIM-style x0-stepping with CFG (the reference uses DPM,
-        ``CogVideoX/network.py:584``; same teacher-sampler contract)."""
+               guidance_scale: Optional[float] = 6.0, num_steps: int = 50,
+               solver: str = "euler", **kwargs):
+        """DDIM-style x0-stepping with CFG; ``solver="dpm2m"`` switches to
+        the second-order multistep (the reference uses DPM here,
+        ``CogVideoX/network.py:584``)."""
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
+        if solver == "dpm2m":
+            from fastgen_tpu.ops.solvers import dpm_solver_2m
+
+            use_cfg_ms = (guidance_scale is not None and guidance_scale > 1.0
+                          and neg_condition is not None)
+
+            def x0_fn(x, t_cur):
+                tb = jnp.full((x.shape[0],), t_cur, jnp.float32)
+                x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
+                if use_cfg_ms:
+                    x0_neg = self(x, tb, condition=neg_condition,
+                                  fwd_pred_type="x0")
+                    x0 = x0_neg + guidance_scale * (x0 - x0_neg)
+                return x0
+
+            return dpm_solver_2m(x0_fn, ns, noise, t_list)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
