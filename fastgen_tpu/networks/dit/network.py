@@ -315,9 +315,15 @@ class DiT(FastGenNetwork):
         return out
 
     def sample(self, noise, condition=None, neg_condition=None,
-               guidance_scale: Optional[float] = 5.0, num_steps: int = 50, **kwargs):
+               guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
+               solver: str = "euler", **kwargs):
         """Euler sampler in flow space for RF (ref ``DiT/network.py:600-700``
-        region); CFG via doubled batch."""
+        region); CFG via doubled batch; ``solver="dpm2m"`` for multistep."""
+        if solver == "dpm2m":
+            from fastgen_tpu.ops.solvers import net_dpm2m_sample
+
+            return net_dpm2m_sample(self, noise, condition, neg_condition,
+                                    guidance_scale, num_steps)
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1, dtype=np.float64)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))

@@ -259,9 +259,18 @@ class Flux(FastGenNetwork):
         return result
 
     def sample(self, noise, condition=None, neg_condition=None,
-               guidance_scale: Optional[float] = 3.5, num_steps: int = 28, **kwargs):
+               guidance_scale: Optional[float] = 3.5, num_steps: int = 28,
+               solver: str = "euler", **kwargs):
         """Euler flow sampling with embedded guidance (Flux.1-dev style: the
-        guidance scale conditions the net; no CFG doubling)."""
+        guidance scale conditions the net; no CFG doubling);
+        ``solver="dpm2m"`` for multistep."""
+        if solver == "dpm2m":
+            from fastgen_tpu.ops.solvers import net_dpm2m_sample
+
+            g_emb = jnp.full((noise.shape[0],),
+                             guidance_scale or self.guidance_scale, jnp.float32)
+            return net_dpm2m_sample(self, noise, condition, None, None,
+                                    num_steps=num_steps, guidance=g_emb)
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))

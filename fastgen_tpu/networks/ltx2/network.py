@@ -296,9 +296,15 @@ class LTX2VideoDiT(FastGenNetwork):
 
     def sample(self, noise, condition=None, neg_condition=None,
                guidance_scale: Optional[float] = 4.0, num_steps: int = 40,
-               **kwargs):
+               solver: str = "euler", **kwargs):
         """Euler flow sampler with CFG (the reference samples via its
-        pipeline's flow-matching scheduler, ``pipeline_ltx2.py``)."""
+        pipeline's flow-matching scheduler, ``pipeline_ltx2.py``);
+        ``solver="dpm2m"`` for multistep."""
+        if solver == "dpm2m":
+            from fastgen_tpu.ops.solvers import net_dpm2m_sample
+
+            return net_dpm2m_sample(self, noise, condition, neg_condition,
+                                    guidance_scale, num_steps)
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))

@@ -283,8 +283,15 @@ class StableDiffusion15(FastGenNetwork):
         return [_post(out[0]), out[1]]
 
     def sample(self, noise, condition=None, neg_condition=None,
-               guidance_scale: Optional[float] = 7.5, num_steps: int = 50, **kwargs):
-        """DDIM sampling (the reference uses diffusers' DDIM for SD teachers)."""
+               guidance_scale: Optional[float] = 7.5, num_steps: int = 50,
+               solver: str = "euler", **kwargs):
+        """DDIM sampling (the reference uses diffusers' DDIM for SD teachers);
+        ``solver="dpm2m"`` switches to the second-order multistep."""
+        if solver == "dpm2m":
+            from fastgen_tpu.ops.solvers import net_dpm2m_sample
+
+            return net_dpm2m_sample(self, noise, condition, neg_condition,
+                                    guidance_scale, num_steps)
         ns = self.noise_scheduler
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))

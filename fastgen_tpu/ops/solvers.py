@@ -83,3 +83,29 @@ def dpm_solver_2m(x0_fn: Callable, noise_schedule, noise: jnp.ndarray,
             jnp.asarray(a(t_next) * phi, x.dtype) * d.astype(x.dtype)
         x0_prev, h_prev = x0_cur, h
     return x
+
+
+def net_dpm2m_sample(net, noise, condition=None, neg_condition=None,
+                     guidance_scale: Optional[float] = None,
+                     num_steps: int = 50, shift: float = 1.0,
+                     **net_kwargs) -> jnp.ndarray:
+    """Shared ``solver="dpm2m"`` branch for the teacher samplers: x0-space
+    CFG (affine-equivalent to velocity/eps CFG), conditioning preservation,
+    flow-shift grid. Extra ``net_kwargs`` ride into every forward (e.g.
+    Flux's embedded ``guidance``)."""
+    ns = net.noise_scheduler
+    use_cfg = (guidance_scale is not None and guidance_scale > 1.0
+               and neg_condition is not None)
+
+    def x0_fn(x, t_cur):
+        tb = jnp.full((x.shape[0],), t_cur, jnp.float32)
+        x0 = net(x, tb, condition=condition, fwd_pred_type="x0", **net_kwargs)
+        if use_cfg:
+            x0_neg = net(x, tb, condition=neg_condition, fwd_pred_type="x0",
+                         **net_kwargs)
+            x0 = x0_neg + guidance_scale * (x0 - x0_neg)
+        preserve = getattr(net, "preserve_conditioning", None)
+        return preserve(x0, condition) if preserve is not None else x0
+
+    return dpm_solver_2m(x0_fn, ns, noise,
+                         shifted_t_grid(ns.max_t, num_steps, shift))

@@ -41,6 +41,8 @@ def parse_args():
                    help="negative prompt for CFG when --prompt is used")
     p.add_argument("--steps", type=int, default=None, help="student sample steps")
     p.add_argument("--teacher_steps", type=int, default=50)
+    p.add_argument("--solver", default="euler", choices=["euler", "dpm2m"],
+                   help="teacher ODE solver (dpm2m = UniPC-class multistep)")
     p.add_argument("--guidance_scale", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_ema", action="store_true", default=True)
@@ -121,7 +123,7 @@ def main():
         teacher = model.nets["teacher"]
         gen = teacher.apply(state.params["teacher"], noise, method=teacher.sample,
                             condition=cond, neg_condition=neg, guidance_scale=g,
-                            num_steps=args.teacher_steps)
+                            num_steps=args.teacher_steps, solver=args.solver)
         path = save_image_grid(to_pixels(gen), os.path.join(
             args.outdir, f"teacher_cfg{g}_steps{args.teacher_steps}_grid.png"))
         print(f"Teacher samples -> {path}")
