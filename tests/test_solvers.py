@@ -99,3 +99,45 @@ def test_dpm2m_exact_on_constant_x0():
                         jax.random.normal(KEY, c.shape),
                         shifted_t_grid(0.999, 6))
     np.testing.assert_allclose(np.asarray(out), np.asarray(c), rtol=1e-5)
+
+
+def test_dpm2m_across_backbones():
+    """Every teacher sampler exposing solver="dpm2m" runs and returns finite
+    latents (DiT class-cond, SD15 text-cond, LTX2 video; CogVideoX covers the
+    DDPM-table schedule)."""
+    from fastgen_tpu.networks.dit.network import DiT
+    from fastgen_tpu.networks.sd.unet import StableDiffusion15
+    from fastgen_tpu.networks.ltx2.network import LTX2VideoDiT
+    from fastgen_tpu.networks.cogvideox.network import CogVideoX
+
+    cases = []
+    dit = DiT(input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+              depth=1, num_heads=4, num_classes=10, net_pred_type="flow",
+              schedule_type="rf")
+    cases.append((dit, jax.random.normal(KEY, (2, 8, 8, 4)),
+                  jax.nn.one_hot(jnp.arange(2), 10)))
+    sd = StableDiffusion15(context_dim=16, in_channels=4, img_resolution=16,
+                           block_out_channels=(8, 16),
+                           transformer_depths=(1, 0), fixed_num_heads=2)
+    cases.append((sd, jax.random.normal(KEY, (1, 16, 16, 4)),
+                  {"text_embeds": jax.random.normal(KEY, (1, 4, 16))}))
+    ltx = LTX2VideoDiT(in_channels=4, out_channels=4, num_heads=4,
+                       head_dim=24, num_layers=1, caption_channels=32,
+                       rope_max_seq_len=64, net_pred_type="flow",
+                       schedule_type="rf")
+    cases.append((ltx, jax.random.normal(KEY, (1, 2, 8, 8, 4)),
+                  {"text_embeds": jax.random.normal(KEY, (1, 4, 32))}))
+    cog = CogVideoX(dim=64, num_layers=1, num_heads=4, in_channels=4,
+                    text_dim=32)
+    cases.append((cog, jax.random.normal(KEY, (1, 2, 8, 8, 4)),
+                  {"text_embeds": jax.random.normal(KEY, (1, 4, 32))}))
+
+    for net, x, cond in cases:
+        t = jnp.full((x.shape[0],), 0.5 if net.schedule_type != "sd" else 500.0,
+                     jnp.float32)
+        params = net.init({"params": KEY}, x, t, condition=cond)
+        out = net.apply(params, x, method=net.sample, condition=cond,
+                        neg_condition=cond, guidance_scale=2.0, num_steps=3,
+                        solver="dpm2m")
+        assert out.shape == x.shape, type(net).__name__
+        assert np.isfinite(np.asarray(out)).all(), type(net).__name__
