@@ -33,11 +33,14 @@ def parse_args():
     p.add_argument("--config", required=True)
     p.add_argument("--ref", required=True, help="reference stats npz (mu, sigma)")
     p.add_argument("--ckpt_dir", default=None)
-    p.add_argument("--num_samples", type=int, default=50000)
+    p.add_argument("--num_samples", type=int, default=None,
+                   help="default: config.eval.num_samples (50k protocol)")
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--steps", type=int, default=None)
-    p.add_argument("--min_ckpt", type=int, default=0)
-    p.add_argument("--max_ckpt", type=int, default=10**9)
+    p.add_argument("--min_ckpt", type=int, default=None,
+                   help="default: config.eval.min_ckpt")
+    p.add_argument("--max_ckpt", type=int, default=None,
+                   help="default: config.eval.max_ckpt")
     p.add_argument("--detector", default="auto")
     p.add_argument("--detector_path", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -61,6 +64,14 @@ def main():
 
     config = import_config_from_python_file(args.config)
     override_config_with_opts(config, overrides)
+    # the eval protocol block is the config-side default (ref config.eval,
+    # ``configs/config.py:49-59``)
+    if args.num_samples is None:
+        args.num_samples = config.eval.num_samples
+    if args.min_ckpt is None:
+        args.min_ckpt = config.eval.min_ckpt
+    if args.max_ckpt is None:
+        args.max_ckpt = config.eval.max_ckpt
     model = init_model(config)
     state_template = model.init_state(jax.random.PRNGKey(config.trainer.seed))
 
