@@ -788,8 +788,11 @@ class EDMPrecond(FastGenNetwork):
         return out
 
     def sample(self, noise, condition=None, neg_condition=None,
-               guidance_scale: Optional[float] = 5.0, num_steps: int = 50, **kwargs):
-        """EDM deterministic Euler sampler (ref ``EDM/network.py:976-1026``).
+               guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
+               solver: str = "euler", **kwargs):
+        """EDM deterministic sampler over Karras sigma spacing
+        (ref ``EDM/network.py:976-1026`` — Euler there; ``solver="heun"``
+        adds the original EDM paper's 2nd-order correction).
 
         Linen-style: call via ``net.apply(params, noise, ..., method=net.sample)``.
         The step loop is a Python loop over a static t_list -> fully unrolled
@@ -799,17 +802,27 @@ class EDMPrecond(FastGenNetwork):
         x = self.noise_scheduler.latents(noise, t_init=jnp.asarray(sigmas[0]))
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
-        for sigma, sigma_next in zip(sigmas[:-1], sigmas[1:]):
+
+        def slope(x, sigma):
             t = jnp.full((x.shape[0],), sigma, dtype=jnp.float32)
             if use_cfg:
-                x_in = jnp.concatenate([x, x], axis=0)
-                t_in = jnp.concatenate([t, t], axis=0)
-                cond_in = jnp.concatenate([neg_condition, condition], axis=0)
-                x0_pred = self(x_in, t_in, condition=cond_in, fwd_pred_type="x0")
+                x0_pred = self(jnp.concatenate([x, x], axis=0),
+                               jnp.concatenate([t, t], axis=0),
+                               condition=jnp.concatenate([neg_condition,
+                                                          condition], axis=0),
+                               fwd_pred_type="x0")
                 x0_uncond, x0_cond = jnp.split(x0_pred, 2, axis=0)
                 x0_pred = x0_uncond + guidance_scale * (x0_cond - x0_uncond)
             else:
                 x0_pred = self(x, t, condition=condition, fwd_pred_type="x0")
-            d = (x - x0_pred) / expand_like(t, x)
-            x = x + jnp.asarray(sigma_next - sigma, x.dtype) * d
+            return (x - x0_pred) / expand_like(t, x)
+
+        for sigma, sigma_next in zip(sigmas[:-1], sigmas[1:]):
+            d = slope(x, sigma)
+            h = jnp.asarray(sigma_next - sigma, x.dtype)
+            x_next = x + h * d
+            if solver == "heun" and sigma_next > 0:
+                d2 = slope(x_next, sigma_next)
+                x_next = x + h * 0.5 * (d + d2)
+            x = x_next
         return x

@@ -409,15 +409,18 @@ class EDM2Precond(FastGenNetwork):
         return out
 
     def sample(self, noise, condition=None, neg_condition=None,
-               guidance_scale: Optional[float] = 5.0, num_steps: int = 50, **kwargs):
-        """Deterministic Euler in sigma space (same contract as EDMPrecond)."""
+               guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
+               solver: str = "euler", **kwargs):
+        """Deterministic sampler in sigma space (same contract as EDMPrecond;
+        ``solver="heun"`` adds the EDM-paper 2nd-order correction)."""
         from fastgen_tpu.utils import expand_like
 
         sigmas = self.noise_scheduler.get_t_list(num_steps)
         x = self.noise_scheduler.latents(noise, t_init=jnp.asarray(sigmas[0]))
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
-        for sigma, sigma_next in zip(sigmas[:-1], sigmas[1:]):
+
+        def slope(x, sigma):
             tb = jnp.full((x.shape[0],), sigma, jnp.float32)
             if use_cfg:
                 x0 = self(jnp.concatenate([x, x]), jnp.concatenate([tb, tb]),
@@ -427,8 +430,16 @@ class EDM2Precond(FastGenNetwork):
                 x0 = x0_neg + guidance_scale * (x0_pos - x0_neg)
             else:
                 x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
-            d = (x - x0) / expand_like(tb, x)
-            x = x + jnp.asarray(sigma_next - sigma, x.dtype) * d
+            return (x - x0) / expand_like(tb, x)
+
+        for sigma, sigma_next in zip(sigmas[:-1], sigmas[1:]):
+            d = slope(x, sigma)
+            h = jnp.asarray(sigma_next - sigma, x.dtype)
+            x_next = x + h * d
+            if solver == "heun" and sigma_next > 0:
+                d2 = slope(x_next, sigma_next)
+                x_next = x + h * 0.5 * (d + d2)
+            x = x_next
         return x
 
 

@@ -41,8 +41,10 @@ def parse_args():
                    help="negative prompt for CFG when --prompt is used")
     p.add_argument("--steps", type=int, default=None, help="student sample steps")
     p.add_argument("--teacher_steps", type=int, default=50)
-    p.add_argument("--solver", default="euler", choices=["euler", "dpm2m"],
-                   help="teacher ODE solver (dpm2m = UniPC-class multistep)")
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "dpm2m", "heun"],
+                   help="teacher ODE solver (dpm2m = UniPC-class multistep; "
+                        "heun = EDM-paper 2nd order for EDM/EDM2)")
     p.add_argument("--guidance_scale", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_ema", action="store_true", default=True)

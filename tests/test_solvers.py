@@ -141,3 +141,30 @@ def test_dpm2m_across_backbones():
                         solver="dpm2m")
         assert out.shape == x.shape, type(net).__name__
         assert np.isfinite(np.asarray(out)).all(), type(net).__name__
+
+
+def test_edm_heun_converges_faster_than_euler():
+    """EDM-paper Heun (2nd order over Karras sigmas) must beat Euler at
+    moderate step counts against a fine-grid Heun reference."""
+    import copy
+
+    from fastgen_tpu.configs.lazy import instantiate
+    from fastgen_tpu.configs.net import EDM_Test_Config
+
+    net = instantiate(copy.deepcopy(EDM_Test_Config))
+    x = jax.random.normal(KEY, (2, 16, 16, 3))
+    t = jnp.full((2,), 1.0)
+    cond = jax.nn.one_hot(jnp.arange(2), 10)
+    params = net.init({"params": KEY}, x, t, condition=cond)
+    noise = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 3))
+
+    def run(solver, steps):
+        return np.asarray(net.apply(params, noise, method=net.sample,
+                                    condition=cond, guidance_scale=None,
+                                    num_steps=steps, solver=solver))
+
+    ref = run("heun", 96)
+    assert np.isfinite(ref).all()
+    err_euler = np.abs(run("euler", 16) - ref).mean()
+    err_heun = np.abs(run("heun", 16) - ref).mean()
+    assert err_heun < 0.6 * err_euler, (err_heun, err_euler)
