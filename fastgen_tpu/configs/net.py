@@ -356,3 +356,10 @@ CausalWan22_I2V_5B_Config = L(build_causal_wan_i2v)(
     out_channels=48, text_dim=4096, rope_max_seq_len=1024, concat_mask=False,
     chunk_size=3, total_num_frames=21, frame_height=44, frame_width=80,
     net_pred_type="flow", schedule_type="rf")
+
+
+CausalWanI2V_Test_Config = L(build_causal_wan_i2v)(
+    dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+    out_channels=4, text_dim=32, rope_max_seq_len=64,
+    chunk_size=1, total_num_frames=3, frame_height=8, frame_width=8,
+    net_pred_type="flow", schedule_type="rf")
