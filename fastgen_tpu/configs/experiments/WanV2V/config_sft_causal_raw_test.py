@@ -1,0 +1,38 @@
+"""Raw-pixel causal VACEWan V2V SFT smoke config: diffusion-forcing training
+of the causal VACE variant with on-the-fly depth control (ref
+``VaceWan/network_causal.py``)."""
+
+from __future__ import annotations
+
+import copy
+
+from fastgen_tpu.configs.lazy import LazyCall as L
+from fastgen_tpu.configs.methods.config_sft import (
+    create_causal_config as create_causal_sft_config)
+from fastgen_tpu.configs.net import CausalVACEWan_Test_Config
+from fastgen_tpu.configs.experiments.WanV2V.config_sft_raw_test import _tiny_annotator
+from fastgen_tpu.data.class_cond_dataloader import SyntheticRawVideoLoader
+from fastgen_tpu.networks.encoders.wrappers import T5TextEncoder, VideoVAEWrapper
+
+
+def create_config():
+    config = create_causal_sft_config()
+    config.log_config.group = "wanv2v_test"
+    config.log_config.name = "sft_causal_raw_test"
+    config.model.net = copy.deepcopy(CausalVACEWan_Test_Config)
+    config.model.vae = L(VideoVAEWrapper)(
+        base_ch=8, ch_mult=[1, 2], latent_channels=4,
+        temporal_downsample=[True], dtype="float32", example_shape=[5, 16, 16])
+    config.model.text_encoder = L(T5TextEncoder)(
+        vocab_size=256, d_model=32, d_kv=8, num_heads=4, d_ff=48, num_layers=1,
+        rel_buckets=8, rel_max_distance=20, max_length=6, dtype="float32")
+    config.model.depth_annotator = L(_tiny_annotator)(input_size=28)
+    config.model.input_shape = [3, 8, 8, 4]
+    config.model.use_ema = False
+    config.dataloader_train = L(SyntheticRawVideoLoader)(
+        batch_size=2, frames=5, resolution=16)
+    config.trainer.max_iter = 4
+    config.trainer.validation_iter = 100
+    config.trainer.save_ckpt_iter = 2
+    config.trainer.logging_iter = 1
+    return config

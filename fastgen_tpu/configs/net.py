@@ -363,3 +363,10 @@ CausalWanI2V_Test_Config = L(build_causal_wan_i2v)(
     out_channels=4, text_dim=32, rope_max_seq_len=64,
     chunk_size=1, total_num_frames=3, frame_height=8, frame_width=8,
     net_pred_type="flow", schedule_type="rf")
+
+
+CausalVACEWan_Test_Config = L(build_causal_vace_wan)(
+    dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
+    out_channels=4, text_dim=32, rope_max_seq_len=64, num_vace_layers=1,
+    chunk_size=1, total_num_frames=3, frame_height=8, frame_width=8,
+    net_pred_type="flow", schedule_type="rf")
