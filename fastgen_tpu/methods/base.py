@@ -224,7 +224,10 @@ class FastGenModel:
         if label_dim:
             return jax.nn.one_hot(jnp.arange(batch_size) % label_dim, label_dim,
                                   dtype=self.precision)
-        text_dim = getattr(net, "text_dim", 0)
+        # nets with an in-network text projection (Cosmos Reason1) consume
+        # raw embeddings wider than their cross-attention dim
+        text_dim = (getattr(net, "text_input_dim", 0)
+                    or getattr(net, "text_dim", 0))
         if text_dim:
             cond = {"text_embeds": jnp.zeros((batch_size, 1, text_dim),
                                              self.precision)}
@@ -285,8 +288,20 @@ class FastGenModel:
             return "edm"
         if name == "DiT":
             return "dit"
+        if "Cosmos" in name:
+            return "cosmos"
         if "Wan" in name:
             return "wan"
+        if "XL" in name:
+            return "sdxl"
+        if "StableDiffusion" in name:
+            return "sd15"
+        if "Flux" in name:
+            return "flux"
+        if "CogVideoX" in name:
+            return "cogvideox"
+        if "LTX2" in name:
+            return "ltx2"
         return None
 
     def _load_pretrained(self, params: Dict[str, Any]) -> Dict[str, Any]:
@@ -297,9 +312,9 @@ class FastGenModel:
             from fastgen_tpu.utils import torch_convert
 
             arch = self._checkpoint_arch(self.nets.get("teacher") or self.net)
-            if arch is None:
-                logger.warning(f"No converter for {type(self.net).__name__}; "
-                               "pretrained_model_path ignored")
+            if arch is None or arch not in torch_convert.CONVERTERS:
+                logger.warning(f"No converter for {type(self.net).__name__} "
+                               f"(arch={arch}); pretrained_model_path ignored")
             else:
                 variables = torch_convert.convert_checkpoint(path, arch)
                 variables = _tree_cast(variables, self.precision)
@@ -519,6 +534,20 @@ class FastGenModel:
                                  iteration=state.iteration + 1)
 
         return astep
+
+    def make_merge_variables_step(self) -> Callable:
+        """Merge non-trainable variable updates (e.g. f-distill ratio bins)
+        into the state between grad-accumulation rounds, matching the
+        reference's per-microbatch buffer updates (``f_distill.py:72-98``)."""
+
+        def mstep(state: MethodState, variable_updates):
+            new_params = dict(state.params)
+            for k, colls in variable_updates.items():
+                new_params[k] = {**new_params[k],
+                                 **jax.lax.stop_gradient(colls)}
+            return state.replace(params=new_params)
+
+        return mstep
 
     # ------------------------------------------------------------- sampling
     def _student_sample_loop(self, params_net, x, t_list, rng, condition=None,

@@ -334,8 +334,347 @@ def convert_edm2(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params}
 
 
+def convert_sd_unet(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """diffusers ``UNet2DConditionModel`` state dict (SD 1.5 or SDXL) ->
+    ``StableDiffusion15``/``StableDiffusionXL`` params (ref loads the
+    diffusers UNet directly, ``SD15/network.py:438`` / ``SDXL/network.py:159``).
+
+    Handles both SD15's conv 1x1 ``proj_in/proj_out`` and SDXL's linear ones
+    (``use_linear_projection``): linear [O, I] reshapes to a 1x1 conv kernel.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.", "unet.", "net."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+
+    params: Dict[str, Any] = {}
+
+    def put(path: str, v):
+        _set_nested(params, ("unet", *path.split(".")), np.asarray(v))
+
+    def dense(dst: str, src: str):
+        put(dst + ".kernel", _to_dense(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            put(dst + ".bias", sd[src + ".bias"])
+
+    def conv(dst: str, src: str):
+        put(dst + ".kernel", _to_conv2d(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            put(dst + ".bias", sd[src + ".bias"])
+
+    def norm(dst: str, src: str):
+        put(dst + ".scale", sd[src + ".weight"])
+        put(dst + ".bias", sd[src + ".bias"])
+
+    def proj_1x1(dst: str, src: str):
+        w = sd[src + ".weight"]
+        if w.ndim == 4:                      # SD15: Conv2d 1x1
+            put(dst + ".kernel", _to_conv2d(w))
+        else:                                # SDXL: Linear -> 1x1 conv kernel
+            put(dst + ".kernel", _to_dense(w)[None, None])
+        put(dst + ".bias", sd[src + ".bias"])
+
+    def resnet(dst: str, src: str):
+        norm(dst + ".norm1", src + ".norm1")
+        conv(dst + ".conv1", src + ".conv1")
+        dense(dst + ".time_emb_proj", src + ".time_emb_proj")
+        norm(dst + ".norm2", src + ".norm2")
+        conv(dst + ".conv2", src + ".conv2")
+        if src + ".conv_shortcut.weight" in sd:
+            conv(dst + ".conv_shortcut", src + ".conv_shortcut")
+
+    def transformer(dst: str, src: str):
+        norm(dst + ".norm", src + ".norm")
+        proj_1x1(dst + ".proj_in", src + ".proj_in")
+        proj_1x1(dst + ".proj_out", src + ".proj_out")
+        d = 0
+        while f"{src}.transformer_blocks.{d}.norm1.weight" in sd:
+            bsrc = f"{src}.transformer_blocks.{d}"
+            bdst = f"{dst}.block_{d}"
+            norm(bdst + ".norm1", bsrc + ".norm1")
+            norm(bdst + ".norm2", bsrc + ".norm2")
+            norm(bdst + ".norm3", bsrc + ".norm3")
+            for attn in ("attn1", "attn2"):
+                dense(f"{bdst}.{attn}_q", f"{bsrc}.{attn}.to_q")
+                dense(f"{bdst}.{attn}_k", f"{bsrc}.{attn}.to_k")
+                dense(f"{bdst}.{attn}_v", f"{bsrc}.{attn}.to_v")
+                dense(f"{bdst}.{attn}_out", f"{bsrc}.{attn}.to_out.0")
+            dense(bdst + ".ff_proj", bsrc + ".ff.net.0.proj")
+            dense(bdst + ".ff_out", bsrc + ".ff.net.2")
+            d += 1
+
+    conv("conv_in", "conv_in")
+    dense("time_embedding_1", "time_embedding.linear_1")
+    dense("time_embedding_2", "time_embedding.linear_2")
+    if "add_embedding.linear_1.weight" in sd:  # SDXL
+        dense("add_embedding_1", "add_embedding.linear_1")
+        dense("add_embedding_2", "add_embedding.linear_2")
+
+    n_down = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("down_blocks."))
+    for b in range(n_down):
+        li = 0
+        while f"down_blocks.{b}.resnets.{li}.norm1.weight" in sd:
+            resnet(f"down_{b}_res_{li}", f"down_blocks.{b}.resnets.{li}")
+            if f"down_blocks.{b}.attentions.{li}.norm.weight" in sd:
+                transformer(f"down_{b}_attn_{li}", f"down_blocks.{b}.attentions.{li}")
+            li += 1
+        if f"down_blocks.{b}.downsamplers.0.conv.weight" in sd:
+            conv(f"down_{b}_downsample", f"down_blocks.{b}.downsamplers.0.conv")
+
+    resnet("mid_res_0", "mid_block.resnets.0")
+    transformer("mid_attn", "mid_block.attentions.0")
+    resnet("mid_res_1", "mid_block.resnets.1")
+
+    n_up = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("up_blocks."))
+    for b in range(n_up):
+        li = 0
+        while f"up_blocks.{b}.resnets.{li}.norm1.weight" in sd:
+            resnet(f"up_{b}_res_{li}", f"up_blocks.{b}.resnets.{li}")
+            if f"up_blocks.{b}.attentions.{li}.norm.weight" in sd:
+                transformer(f"up_{b}_attn_{li}", f"up_blocks.{b}.attentions.{li}")
+            li += 1
+        if f"up_blocks.{b}.upsamplers.0.conv.weight" in sd:
+            conv(f"up_{b}_upsample", f"up_blocks.{b}.upsamplers.0.conv")
+
+    norm("conv_norm_out", "conv_norm_out")
+    conv("conv_out", "conv_out")
+    return {"params": params}
+
+
+def convert_flux(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """diffusers ``FluxTransformer2DModel`` state dict -> ``Flux`` params
+    (ref wraps the diffusers model, ``Flux/network.py:327``).
+
+    Fused layouts: the joint blocks' separate ``to_q/to_k/to_v`` (and the
+    text stream's ``add_{q,k,v}_proj``) concatenate into our fused
+    ``img_qkv``/``txt_qkv``; single blocks concat q/k/v/``proj_mlp`` into
+    ``qkv_mlp``. ``norm_out.linear`` chunks (scale, shift) in diffusers'
+    AdaLayerNormContinuous — swapped into our (shift, scale) order.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.", "transformer.", "net."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+
+    params: Dict[str, Any] = {}
+
+    def put(path: str, v):
+        _set_nested(params, tuple(path.split(".")), np.asarray(v))
+
+    def dense(dst: str, src: str):
+        put(dst + ".kernel", _to_dense(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            put(dst + ".bias", sd[src + ".bias"])
+
+    def fused_dense(dst: str, srcs):
+        put(dst + ".kernel",
+            np.concatenate([_to_dense(sd[s + ".weight"]) for s in srcs], axis=1))
+        if srcs[0] + ".bias" in sd:
+            put(dst + ".bias",
+                np.concatenate([sd[s + ".bias"] for s in srcs], axis=0))
+
+    dense("x_embedder", "x_embedder")
+    dense("context_embedder", "context_embedder")
+    dense("time_embed.proj_0", "time_text_embed.timestep_embedder.linear_1")
+    dense("time_embed.proj_2", "time_text_embed.timestep_embedder.linear_2")
+    if "time_text_embed.guidance_embedder.linear_1.weight" in sd:
+        dense("guidance_embed.proj_0", "time_text_embed.guidance_embedder.linear_1")
+        dense("guidance_embed.proj_2", "time_text_embed.guidance_embedder.linear_2")
+    dense("pooled_embed_0", "time_text_embed.text_embedder.linear_1")
+    dense("pooled_embed_2", "time_text_embed.text_embedder.linear_2")
+
+    n_joint = 1 + max((int(k.split(".")[1]) for k in sd
+                       if k.startswith("transformer_blocks.")), default=-1)
+    for i in range(n_joint):
+        src = f"transformer_blocks.{i}"
+        dst = f"joint_{i}"
+        dense(dst + ".img_mod.lin", src + ".norm1.linear")
+        dense(dst + ".txt_mod.lin", src + ".norm1_context.linear")
+        fused_dense(dst + ".img_qkv",
+                    [src + ".attn.to_q", src + ".attn.to_k", src + ".attn.to_v"])
+        fused_dense(dst + ".txt_qkv",
+                    [src + ".attn.add_q_proj", src + ".attn.add_k_proj",
+                     src + ".attn.add_v_proj"])
+        put(dst + ".img_qkv_qnorm.scale", sd[src + ".attn.norm_q.weight"])
+        put(dst + ".img_qkv_knorm.scale", sd[src + ".attn.norm_k.weight"])
+        put(dst + ".txt_qkv_qnorm.scale", sd[src + ".attn.norm_added_q.weight"])
+        put(dst + ".txt_qkv_knorm.scale", sd[src + ".attn.norm_added_k.weight"])
+        dense(dst + ".img_proj", src + ".attn.to_out.0")
+        dense(dst + ".txt_proj", src + ".attn.to_add_out")
+        dense(dst + ".img_mlp_in", src + ".ff.net.0.proj")
+        dense(dst + ".img_mlp_out", src + ".ff.net.2")
+        dense(dst + ".txt_mlp_in", src + ".ff_context.net.0.proj")
+        dense(dst + ".txt_mlp_out", src + ".ff_context.net.2")
+
+    n_single = 1 + max((int(k.split(".")[1]) for k in sd
+                        if k.startswith("single_transformer_blocks.")), default=-1)
+    for i in range(n_single):
+        src = f"single_transformer_blocks.{i}"
+        dst = f"single_{i}"
+        dense(dst + ".mod.lin", src + ".norm.linear")
+        fused_dense(dst + ".qkv_mlp",
+                    [src + ".attn.to_q", src + ".attn.to_k", src + ".attn.to_v",
+                     src + ".proj_mlp"])
+        put(dst + ".qnorm.scale", sd[src + ".attn.norm_q.weight"])
+        put(dst + ".knorm.scale", sd[src + ".attn.norm_k.weight"])
+        dense(dst + ".proj_out", src + ".proj_out")
+
+    # AdaLayerNormContinuous chunks (scale, shift); our module splits
+    # (shift, scale) -> swap the two output halves
+    w = _to_dense(sd["norm_out.linear.weight"])
+    dim = w.shape[1] // 2
+    put("norm_out_mod.lin.kernel",
+        np.concatenate([w[:, dim:], w[:, :dim]], axis=1))
+    b = sd["norm_out.linear.bias"]
+    put("norm_out_mod.lin.bias", np.concatenate([b[dim:], b[:dim]], axis=0))
+    dense("proj_out", "proj_out")
+    if "logvar_linear.weight" in sd:
+        dense("logvar_linear", "logvar_linear")
+    return {"params": params}
+
+
+def convert_cogvideox(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """diffusers ``CogVideoXTransformer3DModel`` state dict -> ``CogVideoX``
+    params (ref wraps the diffusers model, ``CogVideoX/network.py:402``).
+
+    ``to_q/to_k/to_v`` fuse into ``qkv``; the block's shared
+    CogVideoXLayerNormZero affine + modulation map onto ``norm1``/``norm2``
+    submodules; the 2B sincos positional buffer is non-persistent in
+    diffusers (recomputed in our module), so it is absent from state dicts.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.", "transformer.", "net."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+
+    params: Dict[str, Any] = {}
+
+    def put(path: str, v):
+        _set_nested(params, tuple(path.split(".")), np.asarray(v))
+
+    def dense(dst: str, src: str):
+        put(dst + ".kernel", _to_dense(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            put(dst + ".bias", sd[src + ".bias"])
+
+    def norm(dst: str, src: str):
+        put(dst + ".scale", sd[src + ".weight"])
+        put(dst + ".bias", sd[src + ".bias"])
+
+    put("patch_embed.kernel", _to_conv2d(sd["patch_embed.proj.weight"]))
+    put("patch_embed.bias", sd["patch_embed.proj.bias"])
+    dense("text_proj", "patch_embed.text_proj")
+    dense("time_embed.proj_0", "time_embedding.linear_1")
+    dense("time_embed.proj_2", "time_embedding.linear_2")
+
+    n_blocks = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("transformer_blocks."))
+    for i in range(n_blocks):
+        src = f"transformer_blocks.{i}"
+        dst = f"blocks_{i}"
+        for nz in ("norm1", "norm2"):
+            dense(f"{dst}.{nz}.lin", f"{src}.{nz}.linear")
+            norm(f"{dst}.{nz}.norm", f"{src}.{nz}.norm")
+        put(dst + ".qkv.kernel",
+            np.concatenate([_to_dense(sd[f"{src}.attn1.{p}.weight"])
+                            for p in ("to_q", "to_k", "to_v")], axis=1))
+        put(dst + ".qkv.bias",
+            np.concatenate([sd[f"{src}.attn1.{p}.bias"]
+                            for p in ("to_q", "to_k", "to_v")], axis=0))
+        norm(dst + ".norm_q", src + ".attn1.norm_q")
+        norm(dst + ".norm_k", src + ".attn1.norm_k")
+        dense(dst + ".proj", src + ".attn1.to_out.0")
+        dense(dst + ".ff_in", src + ".ff.net.0.proj")
+        dense(dst + ".ff_out", src + ".ff.net.2")
+
+    norm("norm_final", "norm_final")
+    dense("norm_out_mod", "norm_out.linear")
+    norm("norm_out", "norm_out.norm")
+    dense("proj_out", "proj_out")
+    if "logvar_linear.weight" in sd:
+        dense("logvar_linear", "logvar_linear")
+    return {"params": params}
+
+
+def convert_cosmos(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Cosmos Predict2 ``CosmosPredict2DiT`` state dict -> ``CosmosPredict2``
+    params (ref ``cosmos_predict2/network.py:57`` + the official-key remap at
+    ``:856-926``: ``net.`` / ``transformer.`` prefixes and
+    ``._checkpoint_wrapped_module`` wrappers are stripped; Transformer-Engine
+    ``_extra_state`` and ``accum_*`` keys skipped)."""
+    sd = {}
+    for k, v in state_dict.items():
+        if "_extra_state" in k or ".accum_" in k or k.startswith("accum_"):
+            continue
+        k = k.replace("._checkpoint_wrapped_module", "")
+        for pre in ("model.", "net.", "transformer."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+
+    params: Dict[str, Any] = {}
+
+    def put(path: str, v):
+        _set_nested(params, tuple(path.split(".")), np.asarray(v))
+
+    def dense(dst: str, src: str):
+        put(dst + ".kernel", _to_dense(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            put(dst + ".bias", sd[src + ".bias"])
+
+    dense("x_embedder", "x_embedder.proj.1")
+    dense("t_embedder_1", "t_embedder.1.linear_1")
+    dense("t_embedder_2", "t_embedder.1.linear_2")
+    put("t_embedding_norm.scale", sd["t_embedding_norm.weight"])
+
+    n_blocks = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    for i in range(n_blocks):
+        src = f"blocks.{i}"
+        dst = f"blocks_{i}"
+        for attn in ("self_attn", "cross_attn"):
+            for proj in ("q_proj", "k_proj", "v_proj", "output_proj"):
+                dense(f"{dst}.{attn}.{proj}", f"{src}.{attn}.{proj}")
+            put(f"{dst}.{attn}.q_norm.scale", sd[f"{src}.{attn}.q_norm.weight"])
+            put(f"{dst}.{attn}.k_norm.scale", sd[f"{src}.{attn}.k_norm.weight"])
+        dense(dst + ".mlp_layer1", src + ".mlp.layer1")
+        dense(dst + ".mlp_layer2", src + ".mlp.layer2")
+        for mod in ("adaln_modulation_self_attn", "adaln_modulation_cross_attn",
+                    "adaln_modulation_mlp"):
+            if f"{src}.{mod}.2.weight" in sd:    # AdaLN-LoRA variant
+                dense(f"{dst}.{mod}_lora_in", f"{src}.{mod}.1")
+                dense(f"{dst}.{mod}", f"{src}.{mod}.2")
+            else:
+                dense(f"{dst}.{mod}", f"{src}.{mod}.1")
+
+    if "final_layer.adaln_modulation.2.weight" in sd:
+        dense("final_adaln_lora_in", "final_layer.adaln_modulation.1")
+        dense("final_adaln", "final_layer.adaln_modulation.2")
+    else:
+        dense("final_adaln", "final_layer.adaln_modulation.1")
+    dense("final_linear", "final_layer.linear")
+    if "crossattn_proj.0.weight" in sd:
+        dense("crossattn_proj", "crossattn_proj.0")
+    if "logvar_linear.weight" in sd:
+        dense("logvar_linear", "logvar_linear")
+
+    handled = ("x_embedder", "t_embedder", "t_embedding_norm", "blocks.",
+               "final_layer", "crossattn_proj", "logvar_linear", "pos_embedder")
+    for k in sd:
+        if not any(m in k for m in handled):
+            logger.warning(f"Unmapped Cosmos key {k}")
+    return {"params": params}
+
+
 CONVERTERS = {"edm": convert_edm, "dit": convert_dit, "wan": convert_wan,
-              "edm2": convert_edm2}
+              "edm2": convert_edm2, "sd15": convert_sd_unet,
+              "sdxl": convert_sd_unet, "flux": convert_flux,
+              "cogvideox": convert_cogvideox, "cosmos": convert_cosmos}
 
 
 def convert_checkpoint(path: str, arch: str) -> Dict[str, Any]:

@@ -77,7 +77,8 @@ class TestFlux:
 class TestCogVideoX:
     @pytest.mark.parametrize("use_rotary", [False, True])
     def test_forward(self, use_rotary):
-        net = CogVideoX(dim=96, num_layers=2, num_heads=4, in_channels=4,
+        # head_dim 16: the 5B RoPE split (d/4, 3d/8, 3d/8) needs % 16 == 0
+        net = CogVideoX(dim=96, num_layers=2, num_heads=6, in_channels=4,
                         text_dim=32, use_rotary=use_rotary,
                         sample_frames=4, sample_height=8, sample_width=8)
         x, t, cond = video_inputs()

@@ -276,3 +276,338 @@ class TestEDM2Converter:
 
         assert_equal(conv["params"],
                      jax.tree_util.tree_map(np.asarray, params["params"]))
+
+
+def _assert_tree_equal(a, b, path=""):
+    if isinstance(a, dict):
+        assert set(a) == set(b), f"{path}: {sorted(a)} vs {sorted(b)}"
+        for k in a:
+            _assert_tree_equal(a[k], b[k], path + "/" + k)
+    else:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=path)
+
+
+def _dense_inv(sd, dst, node):
+    sd[dst + ".weight"] = np.asarray(node["kernel"]).T
+    if "bias" in node:
+        sd[dst + ".bias"] = np.asarray(node["bias"])
+
+
+def _norm_inv(sd, dst, node):
+    sd[dst + ".weight"] = np.asarray(node["scale"])
+    if "bias" in node:
+        sd[dst + ".bias"] = np.asarray(node["bias"])
+
+
+def _conv_inv(sd, dst, node):
+    sd[dst + ".weight"] = np.transpose(np.asarray(node["kernel"]), (3, 2, 0, 1))
+    if "bias" in node:
+        sd[dst + ".bias"] = np.asarray(node["bias"])
+
+
+class TestSDUNetConverter:
+    """Roundtrip: flax SD UNet params -> synthetic diffusers-layout dict ->
+    convert_sd_unet -> exact equality (tests both the SD15 conv-1x1 and the
+    SDXL linear proj_in/proj_out paths)."""
+
+    def _unet_to_torch(self, p, linear_proj=False):
+        sd = {}
+
+        def transformer(dst, node):
+            _norm_inv(sd, dst + ".norm", node["norm"])
+            for pj in ("proj_in", "proj_out"):
+                w = np.asarray(node[pj]["kernel"])  # [1,1,I,O]
+                if linear_proj:
+                    sd[f"{dst}.{pj}.weight"] = w[0, 0].T
+                else:
+                    sd[f"{dst}.{pj}.weight"] = np.transpose(w, (3, 2, 0, 1))
+                sd[f"{dst}.{pj}.bias"] = np.asarray(node[pj]["bias"])
+            d = 0
+            while f"block_{d}" in node:
+                blk = node[f"block_{d}"]
+                bdst = f"{dst}.transformer_blocks.{d}"
+                for nz in ("norm1", "norm2", "norm3"):
+                    _norm_inv(sd, f"{bdst}.{nz}", blk[nz])
+                for attn in ("attn1", "attn2"):
+                    for suffix, tname in (("q", "to_q"), ("k", "to_k"),
+                                          ("v", "to_v")):
+                        _dense_inv(sd, f"{bdst}.{attn}.{tname}",
+                                   blk[f"{attn}_{suffix}"])
+                    _dense_inv(sd, f"{bdst}.{attn}.to_out.0", blk[f"{attn}_out"])
+                _dense_inv(sd, f"{bdst}.ff.net.0.proj", blk["ff_proj"])
+                _dense_inv(sd, f"{bdst}.ff.net.2", blk["ff_out"])
+                d += 1
+
+        def resnet(dst, node):
+            _norm_inv(sd, dst + ".norm1", node["norm1"])
+            _conv_inv(sd, dst + ".conv1", node["conv1"])
+            _dense_inv(sd, dst + ".time_emb_proj", node["time_emb_proj"])
+            _norm_inv(sd, dst + ".norm2", node["norm2"])
+            _conv_inv(sd, dst + ".conv2", node["conv2"])
+            if "conv_shortcut" in node:
+                _conv_inv(sd, dst + ".conv_shortcut", node["conv_shortcut"])
+
+        _conv_inv(sd, "conv_in", p["conv_in"])
+        _dense_inv(sd, "time_embedding.linear_1", p["time_embedding_1"])
+        _dense_inv(sd, "time_embedding.linear_2", p["time_embedding_2"])
+        if "add_embedding_1" in p:
+            _dense_inv(sd, "add_embedding.linear_1", p["add_embedding_1"])
+            _dense_inv(sd, "add_embedding.linear_2", p["add_embedding_2"])
+        for name, node in p.items():
+            import re
+            m = re.match(r"down_(\d+)_res_(\d+)$", name)
+            if m:
+                resnet(f"down_blocks.{m.group(1)}.resnets.{m.group(2)}", node)
+            m = re.match(r"down_(\d+)_attn_(\d+)$", name)
+            if m:
+                transformer(f"down_blocks.{m.group(1)}.attentions.{m.group(2)}",
+                            node)
+            m = re.match(r"down_(\d+)_downsample$", name)
+            if m:
+                _conv_inv(sd, f"down_blocks.{name.split('_')[1]}"
+                          ".downsamplers.0.conv", node)
+            m = re.match(r"up_(\d+)_res_(\d+)$", name)
+            if m:
+                resnet(f"up_blocks.{m.group(1)}.resnets.{m.group(2)}", node)
+            m = re.match(r"up_(\d+)_attn_(\d+)$", name)
+            if m:
+                transformer(f"up_blocks.{m.group(1)}.attentions.{m.group(2)}",
+                            node)
+            m = re.match(r"up_(\d+)_upsample$", name)
+            if m:
+                _conv_inv(sd, f"up_blocks.{name.split('_')[1]}"
+                          ".upsamplers.0.conv", node)
+        resnet("mid_block.resnets.0", p["mid_res_0"])
+        transformer("mid_block.attentions.0", p["mid_attn"])
+        resnet("mid_block.resnets.1", p["mid_res_1"])
+        _norm_inv(sd, "conv_norm_out", p["conv_norm_out"])
+        _conv_inv(sd, "conv_out", p["conv_out"])
+        return sd
+
+    @pytest.mark.parametrize("linear_proj", [False, True])
+    def test_roundtrip_exact(self, linear_proj):
+        from fastgen_tpu.networks.sd.unet import UNet2DCondition
+        from fastgen_tpu.utils.torch_convert import (convert_sd_unet,
+                                                     verify_against_template)
+
+        kwargs = dict(in_channels=4, out_channels=4,
+                      block_out_channels=(16, 32),
+                      cross_attn_blocks=(True, False),
+                      transformer_depths=(1, 0), fixed_num_heads=2,
+                      context_dim=16)
+        if linear_proj:  # exercise the SDXL added-embedding path too
+            kwargs["addition_embed_dim"] = 24
+        unet = UNet2DCondition(**kwargs)
+        x = jnp.zeros((1, 16, 16, 4))
+        t = jnp.ones((1,))
+        ctx = jnp.zeros((1, 7, 16))
+        added = jnp.zeros((1, 24)) if linear_proj else None
+        params = unet.init({"params": KEY}, x, t, ctx, added_cond=added)
+        sd = self._unet_to_torch(params["params"], linear_proj=linear_proj)
+        conv = convert_sd_unet(sd)
+        matched, missing = verify_against_template(
+            conv["params"]["unet"], params["params"], strict=True)
+        assert missing == 0
+        _assert_tree_equal(conv["params"]["unet"],
+                           jax.tree_util.tree_map(np.asarray, params["params"]))
+
+
+class TestFluxConverter:
+    def _flux_to_torch(self, p):
+        sd = {}
+        _dense_inv(sd, "x_embedder", p["x_embedder"])
+        _dense_inv(sd, "context_embedder", p["context_embedder"])
+        _dense_inv(sd, "time_text_embed.timestep_embedder.linear_1",
+                   p["time_embed"]["proj_0"])
+        _dense_inv(sd, "time_text_embed.timestep_embedder.linear_2",
+                   p["time_embed"]["proj_2"])
+        if "guidance_embed" in p:
+            _dense_inv(sd, "time_text_embed.guidance_embedder.linear_1",
+                       p["guidance_embed"]["proj_0"])
+            _dense_inv(sd, "time_text_embed.guidance_embedder.linear_2",
+                       p["guidance_embed"]["proj_2"])
+        _dense_inv(sd, "time_text_embed.text_embedder.linear_1",
+                   p["pooled_embed_0"])
+        _dense_inv(sd, "time_text_embed.text_embedder.linear_2",
+                   p["pooled_embed_2"])
+        i = 0
+        while f"joint_{i}" in p:
+            b = p[f"joint_{i}"]
+            dst = f"transformer_blocks.{i}"
+            _dense_inv(sd, dst + ".norm1.linear", b["img_mod"]["lin"])
+            _dense_inv(sd, dst + ".norm1_context.linear", b["txt_mod"]["lin"])
+            for stream, names in (("img_qkv", ("to_q", "to_k", "to_v")),
+                                  ("txt_qkv", ("add_q_proj", "add_k_proj",
+                                               "add_v_proj"))):
+                w = np.asarray(b[stream]["kernel"])
+                bias = np.asarray(b[stream]["bias"])
+                dim = w.shape[1] // 3
+                for j, nm in enumerate(names):
+                    sd[f"{dst}.attn.{nm}.weight"] = w[:, j * dim:(j + 1) * dim].T
+                    sd[f"{dst}.attn.{nm}.bias"] = bias[j * dim:(j + 1) * dim]
+            sd[dst + ".attn.norm_q.weight"] = np.asarray(
+                b["img_qkv_qnorm"]["scale"])
+            sd[dst + ".attn.norm_k.weight"] = np.asarray(
+                b["img_qkv_knorm"]["scale"])
+            sd[dst + ".attn.norm_added_q.weight"] = np.asarray(
+                b["txt_qkv_qnorm"]["scale"])
+            sd[dst + ".attn.norm_added_k.weight"] = np.asarray(
+                b["txt_qkv_knorm"]["scale"])
+            _dense_inv(sd, dst + ".attn.to_out.0", b["img_proj"])
+            _dense_inv(sd, dst + ".attn.to_add_out", b["txt_proj"])
+            _dense_inv(sd, dst + ".ff.net.0.proj", b["img_mlp_in"])
+            _dense_inv(sd, dst + ".ff.net.2", b["img_mlp_out"])
+            _dense_inv(sd, dst + ".ff_context.net.0.proj", b["txt_mlp_in"])
+            _dense_inv(sd, dst + ".ff_context.net.2", b["txt_mlp_out"])
+            i += 1
+        i = 0
+        while f"single_{i}" in p:
+            b = p[f"single_{i}"]
+            dst = f"single_transformer_blocks.{i}"
+            _dense_inv(sd, dst + ".norm.linear", b["mod"]["lin"])
+            w = np.asarray(b["qkv_mlp"]["kernel"])
+            bias = np.asarray(b["qkv_mlp"]["bias"])
+            dim = w.shape[1] // 7
+            bounds = [0, dim, 2 * dim, 3 * dim, 7 * dim]
+            for j, nm in enumerate(("attn.to_q", "attn.to_k", "attn.to_v",
+                                    "proj_mlp")):
+                sd[f"{dst}.{nm}.weight"] = w[:, bounds[j]:bounds[j + 1]].T
+                sd[f"{dst}.{nm}.bias"] = bias[bounds[j]:bounds[j + 1]]
+            sd[dst + ".attn.norm_q.weight"] = np.asarray(b["qnorm"]["scale"])
+            sd[dst + ".attn.norm_k.weight"] = np.asarray(b["knorm"]["scale"])
+            _dense_inv(sd, dst + ".proj_out", b["proj_out"])
+            i += 1
+        # our (shift, scale) -> diffusers AdaLayerNormContinuous (scale, shift)
+        w = np.asarray(p["norm_out_mod"]["lin"]["kernel"])
+        b_ = np.asarray(p["norm_out_mod"]["lin"]["bias"])
+        dim = w.shape[1] // 2
+        sd["norm_out.linear.weight"] = np.concatenate(
+            [w[:, dim:], w[:, :dim]], axis=1).T
+        sd["norm_out.linear.bias"] = np.concatenate([b_[dim:], b_[:dim]])
+        _dense_inv(sd, "proj_out", p["proj_out"])
+        return sd
+
+    def test_roundtrip_exact(self):
+        from fastgen_tpu.networks.flux.network import Flux
+        from fastgen_tpu.utils.torch_convert import (convert_flux,
+                                                     verify_against_template)
+
+        net = Flux(dim=96, num_layers=2, num_single_layers=2, num_heads=4,
+                   in_channels=4, text_dim=32, pooled_dim=16)
+        x = jnp.zeros((1, 8, 8, 4))
+        t = jnp.array([0.5])
+        cond = {"text_embeds": jnp.zeros((1, 6, 32)),
+                "pooled_embeds": jnp.zeros((1, 16))}
+        params = net.init({"params": KEY}, x, t, condition=cond)
+        sd = self._flux_to_torch(params["params"])
+        conv = convert_flux(sd)
+        matched, missing = verify_against_template(conv, params, strict=True)
+        assert missing == 0
+        _assert_tree_equal(conv["params"],
+                           jax.tree_util.tree_map(np.asarray, params["params"]))
+
+
+class TestCogVideoXConverter:
+    def _cogvideox_to_torch(self, p):
+        sd = {}
+        _conv_inv(sd, "patch_embed.proj", p["patch_embed"])
+        _dense_inv(sd, "patch_embed.text_proj", p["text_proj"])
+        _dense_inv(sd, "time_embedding.linear_1", p["time_embed"]["proj_0"])
+        _dense_inv(sd, "time_embedding.linear_2", p["time_embed"]["proj_2"])
+        i = 0
+        while f"blocks_{i}" in p:
+            b = p[f"blocks_{i}"]
+            dst = f"transformer_blocks.{i}"
+            for nz in ("norm1", "norm2"):
+                _dense_inv(sd, f"{dst}.{nz}.linear", b[nz]["lin"])
+                _norm_inv(sd, f"{dst}.{nz}.norm", b[nz]["norm"])
+            w = np.asarray(b["qkv"]["kernel"])
+            bias = np.asarray(b["qkv"]["bias"])
+            dim = w.shape[1] // 3
+            for j, nm in enumerate(("to_q", "to_k", "to_v")):
+                sd[f"{dst}.attn1.{nm}.weight"] = w[:, j * dim:(j + 1) * dim].T
+                sd[f"{dst}.attn1.{nm}.bias"] = bias[j * dim:(j + 1) * dim]
+            _norm_inv(sd, dst + ".attn1.norm_q", b["norm_q"])
+            _norm_inv(sd, dst + ".attn1.norm_k", b["norm_k"])
+            _dense_inv(sd, dst + ".attn1.to_out.0", b["proj"])
+            _dense_inv(sd, dst + ".ff.net.0.proj", b["ff_in"])
+            _dense_inv(sd, dst + ".ff.net.2", b["ff_out"])
+            i += 1
+        _norm_inv(sd, "norm_final", p["norm_final"])
+        _dense_inv(sd, "norm_out.linear", p["norm_out_mod"])
+        _norm_inv(sd, "norm_out.norm", p["norm_out"])
+        _dense_inv(sd, "proj_out", p["proj_out"])
+        return sd
+
+    def test_roundtrip_exact(self):
+        from fastgen_tpu.networks.cogvideox.network import CogVideoX
+        from fastgen_tpu.utils.torch_convert import (convert_cogvideox,
+                                                     verify_against_template)
+
+        net = CogVideoX(dim=96, num_layers=2, num_heads=6, in_channels=4,
+                        text_dim=32, sample_frames=4, sample_height=8,
+                        sample_width=8)
+        x = jnp.zeros((1, 2, 8, 8, 4))
+        t = jnp.array([0.5])
+        cond = {"text_embeds": jnp.zeros((1, 6, 32))}
+        params = net.init({"params": KEY}, x, t, condition=cond)
+        sd = self._cogvideox_to_torch(params["params"])
+        conv = convert_cogvideox(sd)
+        matched, missing = verify_against_template(conv, params, strict=True)
+        assert missing == 0
+        _assert_tree_equal(conv["params"],
+                           jax.tree_util.tree_map(np.asarray, params["params"]))
+
+
+class TestCosmosConverter:
+    def _cosmos_to_torch(self, p, prefix=""):
+        sd = {}
+        _dense_inv(sd, "x_embedder.proj.1", p["x_embedder"])
+        _dense_inv(sd, "t_embedder.1.linear_1", p["t_embedder_1"])
+        _dense_inv(sd, "t_embedder.1.linear_2", p["t_embedder_2"])
+        sd["t_embedding_norm.weight"] = np.asarray(p["t_embedding_norm"]["scale"])
+        i = 0
+        while f"blocks_{i}" in p:
+            b = p[f"blocks_{i}"]
+            src = f"blocks.{i}"
+            for attn in ("self_attn", "cross_attn"):
+                for proj in ("q_proj", "k_proj", "v_proj", "output_proj"):
+                    _dense_inv(sd, f"{src}.{attn}.{proj}", b[attn][proj])
+                sd[f"{src}.{attn}.q_norm.weight"] = np.asarray(
+                    b[attn]["q_norm"]["scale"])
+                sd[f"{src}.{attn}.k_norm.weight"] = np.asarray(
+                    b[attn]["k_norm"]["scale"])
+            _dense_inv(sd, f"{src}.mlp.layer1", b["mlp_layer1"])
+            _dense_inv(sd, f"{src}.mlp.layer2", b["mlp_layer2"])
+            for mod in ("adaln_modulation_self_attn",
+                        "adaln_modulation_cross_attn", "adaln_modulation_mlp"):
+                _dense_inv(sd, f"{src}.{mod}.1", b[mod])
+            i += 1
+        _dense_inv(sd, "final_layer.adaln_modulation.1", p["final_adaln"])
+        _dense_inv(sd, "final_layer.linear", p["final_linear"])
+        if "logvar_linear" in p:
+            _dense_inv(sd, "logvar_linear", p["logvar_linear"])
+        # official-checkpoint prefix + TE noise keys must be stripped/skipped
+        sd = {prefix + k: v for k, v in sd.items()}
+        sd[prefix + "blocks.0.self_attn._extra_state"] = np.zeros(1)
+        return sd
+
+    @pytest.mark.parametrize("prefix", ["", "net."])
+    def test_roundtrip_exact(self, prefix):
+        from fastgen_tpu.networks.cosmos.network import CosmosPredict2
+        from fastgen_tpu.utils.torch_convert import (convert_cosmos,
+                                                     verify_against_template)
+
+        net = CosmosPredict2(dim=96, num_layers=2, num_heads=4, ffn_dim=128,
+                             in_channels=4, out_channels=4, text_dim=32,
+                             rope_max_seq_len=64)
+        x = jnp.zeros((1, 4, 8, 8, 4))
+        t = jnp.array([0.5])
+        cond = {"text_embeds": jnp.zeros((1, 6, 32))}
+        params = net.init({"params": KEY}, x, t, condition=cond)
+        sd = self._cosmos_to_torch(params["params"], prefix=prefix)
+        conv = convert_cosmos(sd)
+        matched, missing = verify_against_template(conv, params, strict=True)
+        assert missing == 0
+        _assert_tree_equal(conv["params"],
+                           jax.tree_util.tree_map(np.asarray, params["params"]))
