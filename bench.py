@@ -18,6 +18,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# bf16 peak FLOP/s per chip by device kind (most-specific prefix wins)
+_PEAK_BF16 = (
+    ("TPU v6 lite", 918e12),   # v6e Trillium
+    ("TPU v5 lite", 197e12),   # v5e
+    ("TPU v5p", 459e12),
+    ("TPU v5", 459e12),
+    ("TPU v4", 275e12),
+)
+
+
+def _peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in _PEAK_BF16:
+        if kind.startswith(prefix):
+            return peak, kind
+    return None, kind
+
+
+def _analytic_flops(jitted, *args):
+    """XLA's static FLOP count for one call of the jitted fn (analytic — the
+    compiled HLO's dot/conv op counts, not a runtime measurement)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu(flops_per_call, calls, elapsed):
+    """Model FLOPs utilization vs the chip's bf16 peak; None if unknown."""
+    peak, kind = _peak_flops()
+    if flops_per_call is None or peak is None or elapsed <= 0:
+        return None, kind
+    return flops_per_call * calls / elapsed / peak, kind
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -77,6 +118,7 @@ def main():
     # warmup / compile
     out = fn(params, noise, key)
     sync(out)
+    flops_per_call = _analytic_flops(fn, params, noise, key)
 
     reps = int(os.environ.get("FASTGEN_BENCH_REPS", "10"))
     t_start = time.perf_counter()
@@ -87,6 +129,7 @@ def main():
     sync(prev)
     elapsed = time.perf_counter() - t_start
     samples_per_sec = batch * reps / elapsed
+    mfu, device_kind = _mfu(flops_per_call, reps, elapsed)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
@@ -102,16 +145,25 @@ def main():
         try:
             with open(baseline_path, "w") as f:
                 json.dump({"value": samples_per_sec,
-                           "note": "first recorded run on this hardware"}, f)
+                           "device_kind": device_kind,
+                           "date": time.strftime("%Y-%m-%d"),
+                           "note": "first recorded run on this hardware "
+                                   "(4-step EDM-CIFAR10 student sampling, "
+                                   "bf16, batch 256)"}, f)
         except OSError:
             pass
 
-    print(json.dumps({
+    record = {
         "metric": f"{steps}-step EDM-CIFAR10 samples/sec/chip (bf16, batch {batch})",
         "value": round(samples_per_sec, 2),
         "unit": "samples/sec",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+    if mfu is not None:
+        record["mfu"] = round(mfu, 4)
+        record["analytic_flops_per_batch"] = flops_per_call
+        record["device_kind"] = device_kind
+    print(json.dumps(record))
 
 
 def bench_wan():
@@ -144,19 +196,37 @@ def bench_wan():
 
     out = fn(params, x, t, cond)
     sync(out)
+    flops_per_call = _analytic_flops(fn, params, x, t, cond)
+    if flops_per_call is not None and \
+            os.environ.get("FASTGEN_ATTN_IMPL", "auto") != "xla":
+        # the Pallas flash kernel is an XLA custom call: its dots are not in
+        # cost_analysis. Add the block-causal self-attention FLOPs
+        # analytically: 4 * allowed_qk_pairs * dim per block.
+        f, hgt, wid = 21, 60 // 2, 104 // 2
+        chunk_tokens = net.chunk_size * hgt * wid
+        n_chunks = f // net.chunk_size
+        allowed_pairs = sum(chunk_tokens * i * chunk_tokens
+                            for i in range(1, n_chunks + 1))
+        flops_per_call += 4.0 * allowed_pairs * net.dim * net.num_layers * b
     reps = int(os.environ.get("FASTGEN_BENCH_REPS", "3"))
     t0 = time.perf_counter()
     prev = x
     for i in range(reps):
         prev = fn(params, prev, t, cond)
     sync(prev)
-    dt = (time.perf_counter() - t0) / reps
-    print(json.dumps({
+    elapsed = time.perf_counter() - t0
+    dt = elapsed / reps
+    mfu, device_kind = _mfu(flops_per_call, reps, elapsed)
+    record = {
         "metric": "CausalWan-1.3B 21f@480p denoise steps/sec/chip (bf16, block-causal)",
         "value": round(b / dt, 3),
         "unit": "denoise steps/sec",
         "vs_baseline": 1.0,
-    }))
+    }
+    if mfu is not None:
+        record["mfu"] = round(mfu, 4)
+        record["device_kind"] = device_kind
+    print(json.dumps(record))
 
 
 def bench_wan_ar():

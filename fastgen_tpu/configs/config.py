@@ -181,6 +181,13 @@ class BaseTrainerConfig:
     seed: int = 0
     val_seed: Optional[int] = None
     resume: bool = True
+    # validation sampling failures abort the run unless set False (the
+    # reference does not catch validation exceptions, ``trainer.py:341-372``)
+    strict_validation: bool = True
+    # which EMA to sample at validation: an ema name (e.g. "ema_0.9999"),
+    # "net" for raw student params, or None = alphabetically-first EMA
+    # (ref selects per-config via the wandb sample map)
+    validation_ema: Optional[str] = None
 
     # parallelism surface parity flags; resolved into MeshConfig by the trainer
     ddp: bool = False

@@ -69,7 +69,12 @@ def dpm_solver_2m(x0_fn: Callable, noise_schedule, noise: jnp.ndarray,
         t_cur, t_next = t_list[i], t_list[i + 1]
         x0_cur = x0_fn(x, t_cur)
         if s(t_next) <= _EPS or t_next <= 0.0:
-            x = x0_cur            # sigma -> 0: the ODE endpoint is x0
+            # sigma -> 0 endpoint: first-order (x = alpha(0) * x0 = x0).
+            # Deliberately NOT the 2M combination: h -> inf there, so the
+            # second-order coefficient 1/(2r) = h/(2 h_prev) diverges —
+            # diffusers likewise forces lower_order_final whenever
+            # final_sigmas_type == "zero" for exactly this reason.
+            x = x0_cur
             break
         h = lam[i + 1] - lam[i]
         ratio = s(t_next) / max(s(t_cur), _EPS)

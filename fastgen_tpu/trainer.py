@@ -110,6 +110,9 @@ class Trainer:
         grad_steps = {p: jax.jit(model.make_grad_step(p)) for p in model.phases}
         apply_steps = {p: jax.jit(model.make_apply_step(p), donate_argnums=0)
                        for p in model.phases}
+        merge_var_steps = {p: jax.jit(model.make_merge_variables_step(),
+                                      donate_argnums=0)
+                           for p in model.phases}
 
         # dataloaders; exact sample-index resume (ref ``trainer.py:156-163``)
         cb.on_dataloader_init_start(model, iteration=iter_start)
@@ -142,8 +145,12 @@ class Trainer:
             _dbg = os.environ.get("FASTGEN_TRAINER_DEBUG")
             if _dbg:
                 print(f"[dbg] iter {iteration} phase {phase} accum {accum}", flush=True)
+            # data-pipeline keys live in a disjoint fold_in domain (1<<20 + a)
+            # from the train-step keys (a) so augment/VAE noise never
+            # correlates with the step's noise/timestep draws
             if accum == 1:
-                batch = self._fetch_batch(model, train_iter, step_key)
+                batch = self._fetch_batch(model, train_iter,
+                                          jax.random.fold_in(step_key, 1 << 20))
                 cb.on_training_accum_step_begin(model, state=state, iteration=iteration)
                 state, loss_map, outputs = train_steps[phase](state, batch, step_key)
             else:
@@ -152,7 +159,7 @@ class Trainer:
                     if _dbg:
                         print(f"[dbg] fetch batch round {a}", flush=True)
                     batch = self._fetch_batch(model, train_iter,
-                                              jax.random.fold_in(step_key, 17 + a))
+                                              jax.random.fold_in(step_key, (1 << 20) + a))
                     if _dbg:
                         print(f"[dbg] got batch round {a}", flush=True)
                     cb.on_training_accum_step_begin(model, state=state,
@@ -161,13 +168,18 @@ class Trainer:
                     grads, loss_map, outputs = grad_steps[phase](state, batch, akey)
                     if _dbg:
                         print(f"[dbg] grad step done round {a}", flush=True)
+                    # apply non-trainable variable updates (e.g. f-distill
+                    # ratio bins) every microbatch, matching the reference's
+                    # per-round buffer updates (``f_distill.py:72-98``)
+                    var_updates = (outputs.pop("_variable_updates", None)
+                                   if isinstance(outputs, dict) else None)
+                    if var_updates:
+                        state = merge_var_steps[phase](state, var_updates)
                     grads_sum = grads if grads_sum is None else jax.tree_util.tree_map(
                         jnp.add, grads_sum, grads)
                 grads_sum = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
                 cb.on_optimizer_step_begin(model, state=state, iteration=iteration)
-                var_updates = (outputs or {}).pop("_variable_updates", None) \
-                    if isinstance(outputs, dict) else None
-                state = apply_steps[phase](state, grads_sum, var_updates)
+                state = apply_steps[phase](state, grads_sum, None)
                 if _dbg:
                     print(f"[dbg] apply done", flush=True)
 
@@ -239,10 +251,22 @@ class Trainer:
             cb.on_validation_step_end(model, state=state, outputs=outputs,
                                       iteration=iteration, idx=idx)
         except Exception as e:
+            # the reference does not catch validation failures; keep a lenient
+            # opt-out for exploratory runs (strict_validation=False)
+            if getattr(self.config.trainer, "strict_validation", True):
+                raise
             logger.warning(f"validation sampling failed: {e}")
         cb.on_validation_end(model, state=state, iteration=iteration, idx=idx)
 
     def _ema_or_net_params(self, model, state):
+        choice = getattr(self.config.trainer, "validation_ema", None)
+        if choice == "net":
+            return state.params["net"]
+        if choice is not None:
+            if choice not in state.ema:
+                raise KeyError(f"validation_ema={choice!r} not in EMA set "
+                               f"{sorted(state.ema)}")
+            return state.ema[choice]
         if state.ema:
             first = sorted(state.ema.keys())[0]
             return state.ema[first]

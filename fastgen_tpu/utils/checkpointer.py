@@ -20,6 +20,51 @@ import orbax.checkpoint as ocp
 from fastgen_tpu.utils import logging_utils as logger
 
 
+def tolerant_merge(template, raw, path: str = ""):
+    """Merge an orbax raw-restored tree (dicts/lists only) into a typed
+    template pytree. Missing entries keep the template's (initialized) value;
+    extra raw entries are dropped; shape mismatches keep init and warn."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    if raw is None:
+        if template is not None:
+            logger.warning(f"checkpoint missing {path or '<root>'}; keeping init")
+        return template
+    if isinstance(template, dict):
+        src = raw if isinstance(raw, dict) else {}
+        return {k: tolerant_merge(v, src.get(k), f"{path}/{k}")
+                for k, v in template.items()}
+    if isinstance(template, tuple) and hasattr(template, "_fields"):  # namedtuple
+        src = raw if isinstance(raw, dict) else {}
+        return type(template)(**{
+            f: tolerant_merge(getattr(template, f), src.get(f), f"{path}/{f}")
+            for f in template._fields})
+    if isinstance(template, (list, tuple)):
+        src = list(raw) if isinstance(raw, (list, tuple)) else []
+        merged = [tolerant_merge(v, src[i] if i < len(src) else None,
+                                 f"{path}[{i}]")
+                  for i, v in enumerate(template)]
+        return type(template)(merged) if isinstance(template, tuple) else merged
+    if dataclasses.is_dataclass(template) and not isinstance(template, type):
+        src = raw if isinstance(raw, dict) else {}
+        kwargs = {f.name: tolerant_merge(getattr(template, f.name),
+                                         src.get(f.name), f"{path}/{f.name}")
+                  for f in dataclasses.fields(template)}
+        return template.replace(**kwargs) if hasattr(template, "replace") \
+            else type(template)(**kwargs)
+    # leaf
+    if hasattr(template, "shape") and hasattr(raw, "shape") and \
+            tuple(template.shape) != tuple(raw.shape):
+        logger.warning(f"checkpoint shape mismatch at {path}: "
+                       f"{raw.shape} vs {template.shape}; keeping init")
+        return template
+    if hasattr(template, "dtype"):
+        return jnp.asarray(raw, dtype=template.dtype)
+    return raw
+
+
 class Checkpointer:
     def __init__(self, save_dir: str, max_to_keep: Optional[int] = None,
                  async_save: bool = True, s3_client=None,
@@ -31,6 +76,13 @@ class Checkpointer:
         self.s3_path: Optional[str] = None
         self.s3: Optional[S3FileSystem] = None
         if is_s3_path(save_dir):
+            import jax
+
+            # multi-host Orbax needs a directory shared by all processes; the
+            # per-host tempdir staging below is single-host only (advisor r1)
+            assert jax.process_count() == 1, (
+                "s3:// checkpoint staging is single-host only — use shared "
+                "storage (NFS/GCS) for multi-host runs")
             self.s3_path = save_dir.rstrip("/")
             self.s3 = S3FileSystem(client=s3_client,
                                    credential_path=s3_credential_path)
@@ -43,6 +95,7 @@ class Checkpointer:
             if self.s3.exists(self.s3_path):
                 os.makedirs(save_dir, exist_ok=True)
                 self.s3.download_dir(self.s3_path, save_dir)
+                self._drop_uncommitted_steps(save_dir)
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
@@ -50,6 +103,48 @@ class Checkpointer:
             enable_async_checkpointing=async_save,
         )
         self.manager = ocp.CheckpointManager(self.save_dir, options=options)
+
+    # Orbax finalizes a step by writing this file at the step-dir root; it is
+    # the commit marker the S3 sync orders around
+    _COMMIT_MARKER = "_CHECKPOINT_METADATA"
+
+    @classmethod
+    def _drop_uncommitted_steps(cls, save_dir: str) -> None:
+        """Remove locally staged step dirs lacking the Orbax commit marker
+        (a crash mid-upload must not be restorable as a committed step)."""
+        import shutil
+
+        for name in os.listdir(save_dir):
+            full = os.path.join(save_dir, name)
+            if (name.isdigit() and os.path.isdir(full)
+                    and not os.path.exists(os.path.join(full, cls._COMMIT_MARKER))):
+                logger.warning(f"Dropping uncommitted checkpoint step {name}")
+                shutil.rmtree(full)
+
+    def _sync_step_to_s3(self, iteration: int) -> None:
+        """Upload only the new step (commit marker last) + its metadata
+        sidecar, then mirror local max_to_keep pruning to S3 so pruned steps
+        never resurrect on restart."""
+        from fastgen_tpu.utils.s3_filesystem import parse_s3_path
+
+        step_dir = os.path.join(self.save_dir, str(iteration))
+        self.s3.upload_dir(step_dir, f"{self.s3_path}/{iteration}",
+                           upload_last=(self._COMMIT_MARKER,))
+        meta = os.path.join(self.save_dir, f"metadata_{iteration}.json")
+        if os.path.exists(meta):
+            self.s3.upload_file(meta, f"{self.s3_path}/metadata_{iteration}.json")
+        local_steps = {name for name in os.listdir(self.save_dir)
+                       if name.isdigit()
+                       and os.path.isdir(os.path.join(self.save_dir, name))}
+        _, prefix = parse_s3_path(self.s3_path)
+        remote_steps = set()
+        for key in self.s3.list_keys(self.s3_path):
+            rel = key[len(prefix):].lstrip("/") if prefix else key
+            top = rel.split("/")[0]
+            if top.isdigit():
+                remote_steps.add(top)
+        for step in sorted(remote_steps - local_steps):
+            self.s3.delete_prefix(f"{self.s3_path}/{step}")
 
     def save(self, iteration: int, state: Any, metadata: Optional[dict] = None) -> None:
         self.manager.save(iteration, args=ocp.args.StandardSave({"state": state}))
@@ -62,7 +157,7 @@ class Checkpointer:
                 json.dump(metadata, f)
         if self.s3 is not None:
             self.manager.wait_until_finished()
-            self.s3.upload_dir(self.save_dir, self.s3_path)
+            self._sync_step_to_s3(iteration)
         logger.info(f"Queued checkpoint save at iteration {iteration} -> {self.save_dir}")
 
     def wait(self):
@@ -81,8 +176,20 @@ class Checkpointer:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None, None, None
-        restored = self.manager.restore(
-            step, args=ocp.args.StandardRestore({"state": state_template}))
+        try:
+            restored = self.manager.restore(
+                step, args=ocp.args.StandardRestore({"state": state_template}))
+        except Exception as e:
+            # tolerant load (reference ``checkpointer.py:113-197`` strict=False
+            # + fresh-optimizer fallback ``:411-432``): raw-restore the saved
+            # tree and merge leaves into the template — missing keys keep
+            # their initialized values, extra keys are dropped, shape
+            # mismatches keep init with a warning.
+            logger.warning(f"strict restore failed ({type(e).__name__}); "
+                           "falling back to tolerant merge")
+            raw = self.manager.restore(step)
+            restored = {"state": tolerant_merge(state_template,
+                                                raw.get("state", raw))}
         metadata = None
         meta_path = os.path.join(self.save_dir, f"metadata_{step}.json")
         if os.path.exists(meta_path):

@@ -59,18 +59,41 @@ class S3FileSystem:
     def __init__(self, client=None, credential_path: Optional[str] = None):
         self.client = client or make_s3_client(credential_path)
 
-    def upload_dir(self, local_dir: str, s3_path: str) -> int:
+    def upload_dir(self, local_dir: str, s3_path: str,
+                   upload_last: Tuple[str, ...] = ()) -> int:
+        """Upload a directory tree; any relpath in ``upload_last`` is uploaded
+        after everything else (crash-safety: commit markers go last, so an
+        interrupted upload never looks committed on S3)."""
         bucket, prefix = parse_s3_path(s3_path)
-        n = 0
+        pending, deferred = [], []
         for root, _, files in os.walk(local_dir):
             for name in files:
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, local_dir)
-                key = f"{prefix}/{rel}" if prefix else rel
-                self.client.upload_file(full, bucket, key)
-                n += 1
+                (deferred if rel in upload_last else pending).append((full, rel))
+        n = 0
+        for full, rel in pending + deferred:
+            key = f"{prefix}/{rel}" if prefix else rel
+            self.client.upload_file(full, bucket, key)
+            n += 1
         logger.info(f"Uploaded {n} files {local_dir} -> {s3_path}")
         return n
+
+    def upload_file(self, local_path: str, s3_path: str) -> None:
+        bucket, key = parse_s3_path(s3_path)
+        self.client.upload_file(local_path, bucket, key)
+
+    def delete_prefix(self, s3_path: str) -> int:
+        """Delete every object under the prefix (mirrors local pruning)."""
+        bucket, _ = parse_s3_path(s3_path)
+        keys = list(self.list_keys(s3_path))
+        for i in range(0, len(keys), 1000):
+            self.client.delete_objects(
+                Bucket=bucket,
+                Delete={"Objects": [{"Key": k} for k in keys[i:i + 1000]]})
+        if keys:
+            logger.info(f"Deleted {len(keys)} objects under {s3_path}")
+        return len(keys)
 
     def download_dir(self, s3_path: str, local_dir: str) -> int:
         bucket, prefix = parse_s3_path(s3_path)

@@ -3,6 +3,9 @@
 Inception statistics (mu, Sigma) over generated samples + the Frechet distance
 against reference stats (EDM-repo ``*.npz``). Detectors are pluggable:
 
+* ``inception_flax`` — the native JAX InceptionV3
+  (``fastgen_tpu/networks/inception.py``), weights from the pytorch-fid
+  state dict; the default when weights are present (runs on TPU).
 * ``inception_torch`` — the reference's own detector path: NVIDIA's pickled
   InceptionV3 loaded via torch (CPU). Provide the file with
   ``--detector_path`` or $FID_INCEPTION_PATH (zero-egress environments cannot
@@ -47,6 +50,44 @@ class RandomProjDetector:
         return np.stack(feats)
 
 
+class FlaxInceptionDetector:
+    """Native JAX InceptionV3 (``fastgen_tpu/networks/inception.py``) — the
+    FID eval path with no torch runtime dependency. Weights come from the
+    pytorch-fid state dict (``pt_inception-2015-12-05-6726825d.pth``) or any
+    object exposing ``state_dict()``; torch is used only to unpickle them."""
+
+    feature_dim = 2048
+
+    def __init__(self, path: Optional[str] = None, batch_size: int = 64):
+        import jax
+
+        from fastgen_tpu.networks.inception import (
+            InceptionV3, convert_inception, preprocess_uint8)
+
+        path = path or os.environ.get("FID_INCEPTION_PATH")
+        if not path or not os.path.exists(path):
+            raise FileNotFoundError(
+                "InceptionV3 weights not found; set FID_INCEPTION_PATH or "
+                "pass --detector_path (zero-egress env cannot download them)")
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        state_dict = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        state_dict = {k: v.numpy() if hasattr(v, "numpy") else v
+                      for k, v in state_dict.items()}
+        self.variables = convert_inception(state_dict)
+        net = InceptionV3()
+        self._batch = batch_size
+        self._fwd = jax.jit(lambda imgs: net.apply(
+            self.variables, preprocess_uint8(imgs))[0])
+
+    def __call__(self, images_uint8: np.ndarray) -> np.ndarray:
+        feats = []
+        for i in range(0, len(images_uint8), self._batch):
+            feats.append(np.asarray(self._fwd(images_uint8[i:i + self._batch])))
+        return np.concatenate(feats)
+
+
 class TorchInceptionDetector:
     """NVIDIA's pickled InceptionV3 via torch CPU (ref ``inception.py:23``)."""
 
@@ -78,13 +119,18 @@ class TorchInceptionDetector:
 def get_detector(name: str = "auto", path: Optional[str] = None):
     if name == "random_proj":
         return RandomProjDetector()
+    if name == "inception_flax":
+        return FlaxInceptionDetector(path)
     if name == "inception_torch":
         return TorchInceptionDetector(path)
-    # auto: inception if weights available, else random projection
-    try:
-        return TorchInceptionDetector(path)
-    except (FileNotFoundError, ImportError):
-        return RandomProjDetector()
+    # auto: native JAX inception if weights are loadable as a state dict,
+    # then the torch-pickle passthrough, else random projection
+    for cls in (FlaxInceptionDetector, TorchInceptionDetector):
+        try:
+            return cls(path)
+        except Exception:
+            continue
+    return RandomProjDetector()
 
 
 def calculate_inception_stats(sample_iter, detector, max_samples: Optional[int] = None

@@ -207,7 +207,13 @@ def prepare_video_conditions(model, prompts, neg_prompts=None, image=None,
         cond = {"text_embeds": cond}
     if neg is not None and not isinstance(neg, dict):
         neg = {"text_embeds": neg}
-    n = len(prompts) if isinstance(prompts, (list, tuple)) else None
+    if isinstance(prompts, (list, tuple)):
+        n = len(prompts)
+    elif isinstance(prompts, dict) and "text_embeds" in prompts:
+        # precomputed-embedding path: batch size rides in the embeddings
+        n = int(prompts["text_embeds"].shape[0])
+    else:
+        n = None
     if n and n > 1:
         import jax.numpy as jnp
         # conditioning media is shared across samples; broadcast batch-1 leaves
