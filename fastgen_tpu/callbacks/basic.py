@@ -157,32 +157,100 @@ class WandbCallback(Callback):
 
 
 class TrainProfilerCallback(Callback):
-    """Iteration timing decomposition (ref ``train_profiler.py:20-138``)."""
+    """Iteration timing decomposition + jax.profiler trace capture
+    (ref ``train_profiler.py:20-138``).
 
-    def __init__(self, config=None, trainer=None, logging_iter: int = 100, **kwargs):
+    Per-iteration decomposition, TPU-async-aware:
+
+    * ``data`` — ``on_training_step_begin`` -> first accum-step begin
+      (host-side batch fetch + preprocess + H2D)
+    * ``step`` — dispatch + device execution of the jitted train step,
+      measured by blocking on ``loss_map`` at step end
+    * ``host`` — gap between the previous step's end and this step's begin
+      (callbacks, logging, checkpoint polling)
+
+    The reference's fwd/bwd/optimizer split is a CUDA-event concept; under
+    XLA one fused step executes, so the per-op split lives in the profiler
+    trace instead: set ``trace_start_iter`` to capture ``trace_num_iters``
+    iterations as a TensorBoard/Perfetto trace (full fwd/bwd op timeline)
+    under ``<save_path>/profile``.
+    """
+
+    def __init__(self, config=None, trainer=None, logging_iter: int = 100,
+                 trace_start_iter: Optional[int] = None,
+                 trace_num_iters: int = 2, trace_dir: Optional[str] = None,
+                 **kwargs):
         super().__init__(config, trainer)
         self.logging_iter = logging_iter
+        self.trace_start_iter = trace_start_iter
+        self.trace_num_iters = trace_num_iters
+        self._trace_dir = trace_dir
+        self._tracing = False
         self._t_step = None
-        self._t_data = None
+        self._t_data_end = None
+        self._t_prev_end = None
         self.iter_times = []
+        self.data_times = []
+        self.host_times = []
         self.last_rate = None
 
+    @property
+    def trace_dir(self) -> str:
+        return self._trace_dir or os.path.join(
+            self.config.log_config.save_path, "profile")
+
     def on_training_step_begin(self, model, state=None, iteration=0):
-        self._t_step = time.perf_counter()
+        now = time.perf_counter()
+        if self._t_prev_end is not None:
+            self.host_times.append(now - self._t_prev_end)
+        self._t_step = now
+        self._t_data_end = None
+        if (self.trace_start_iter is not None and not self._tracing
+                and iteration == self.trace_start_iter and is_rank0()):
+            os.makedirs(self.trace_dir, exist_ok=True)
+            jax.profiler.start_trace(self.trace_dir)
+            self._tracing = True
+            logger.info(f"profiler trace started -> {self.trace_dir}")
+
+    def on_training_accum_step_begin(self, model, state=None, iteration=0):
+        if self._t_data_end is None and self._t_step is not None:
+            self.data_times.append(time.perf_counter() - self._t_step)
+            self._t_data_end = time.perf_counter()
 
     def on_training_step_end(self, model, state=None, data_batch=None,
                              loss_map=None, outputs=None, iteration=0):
         if self._t_step is None:
             return
-        dt = time.perf_counter() - self._t_step
-        self.iter_times.append(dt)
-        if len(self.iter_times) > 200:
-            self.iter_times = self.iter_times[-100:]
+        if loss_map:
+            # async dispatch: block so the step time includes device exec
+            jax.block_until_ready(list(loss_map.values()))
+        now = time.perf_counter()
+        self.iter_times.append(now - self._t_step)
+        self._t_prev_end = now
+        for buf in (self.iter_times, self.data_times, self.host_times):
+            if len(buf) > 200:
+                del buf[:-100]
+        if (self._tracing and self.trace_start_iter is not None
+                and iteration >= self.trace_start_iter + self.trace_num_iters - 1):
+            jax.profiler.stop_trace()
+            self._tracing = False
+            logger.info(f"profiler trace written -> {self.trace_dir}")
         if iteration and iteration % self.logging_iter == 0:
-            mean = float(np.mean(self.iter_times[-self.logging_iter:]))
+            w = self.logging_iter
+            mean = float(np.mean(self.iter_times[-w:]))
+            data = float(np.mean(self.data_times[-w:])) if self.data_times else 0.0
+            host = float(np.mean(self.host_times[-w:])) if self.host_times else 0.0
+            step = max(mean - data, 0.0)
             self.last_rate = 1.0 / max(mean, 1e-9)
-            logger.info(f"iter {iteration}: {mean*1000:.1f} ms/iter "
-                        f"({self.last_rate:.2f} it/s)")
+            logger.info(
+                f"iter {iteration}: {mean*1000:.1f} ms/iter "
+                f"(data {data*1000:.1f} | step {step*1000:.1f} | "
+                f"host {host*1000:.1f} ms, {self.last_rate:.2f} it/s)")
+
+    def on_train_end(self, model, state=None, iteration=0):
+        if self._tracing:
+            jax.profiler.stop_trace()
+            self._tracing = False
 
 
 class DeviceStatsCallback(Callback):

@@ -6,10 +6,14 @@ masks + SDPA -> one Pallas kernel). Canonical TPU pattern: grid
 carries the running max / denominator / accumulator across k blocks
 (online softmax), so HBM traffic is O(N*D) per query block instead of O(N^2).
 
-Backward runs through a custom VJP that recomputes attention with the XLA
-fallback — correct everywhere, and training-path kernel time is dominated by
-the matmuls XLA already fuses well; a Pallas backward kernel is a later
-optimization.
+Backward is the standard two-kernel flash decomposition (the capability the
+reference trains through via fused FlexAttention backward,
+``network_causal.py:414-442``): the forward additionally emits the per-row
+logsumexp; ``delta = rowsum(dO * O)`` is computed in XLA; then a dq kernel
+(grid q-outer, k-inner) and a dk/dv kernel (grid k-outer, q-inner) each
+recompute p = exp(s - lse) blockwise — nothing [N, N] ever touches HBM, so
+training memory stays O(N*D) at diffusion-forcing video lengths. Block-causal
+skipping applies to both (a k block skips q blocks before its causal reach).
 
 Block-causal masking (`causal_block=c`): query token i may attend to key j iff
 j // c <= i // c (diffusion forcing, ref ``network_causal.py:131-196``).
@@ -30,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch,
+                      l_scratch, acc_scratch,
                       *, scale: float, block_q: int, block_k: int,
                       causal_block: Optional[int], seq_len: int,
                       valid_len: int):
@@ -89,14 +94,22 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scra
 
     @pl.when(ki == num_k - 1)
     def _finalize():
-        o_ref[0] = (acc_scratch[:] / jnp.maximum(l_scratch[:], 1e-30)).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_scratch[:], 1e-30)
+        o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+        # per-row logsumexp of the (scaled, masked) logits — the backward's
+        # residual: p = exp(s - lse) reconstructs softmax rows blockwise.
+        # Broadcast over 8 lanes: Mosaic needs the last block dim == array
+        # dim or a multiple of 128 (cf. the in-tree kernel's MIN_BLOCK_SIZE
+        # trailing axis; 8 keeps the HBM footprint 16x smaller)
+        lse_ref[0] = jnp.broadcast_to(m_scratch[:] + jnp.log(l_safe),
+                                      lse_ref.shape[1:])
 
 
 def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
                    interpret: bool = False):
-    """q,k,v: [BH, N, D] -> out [BH, N, D]. Ragged N is zero-padded up to the
-    block size; padded keys are masked analytically, padded query rows are
-    sliced off."""
+    """q,k,v: [BH, N, D] -> (out [BH, N, D], lse [BH, N] f32). Ragged N is
+    zero-padded up to the block size; padded keys are masked analytically,
+    padded query rows are sliced off."""
     bh, n, d = q.shape
     # prefer blocks that divide n exactly: padded rows/keys are wasted MXU
     # work and large blocks amortize the online-softmax VPU overhead
@@ -123,7 +136,7 @@ def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
         _flash_fwd_kernel, scale=scale, block_q=block_q, block_k=block_k,
         causal_block=causal_block, seq_len=n_pad, valid_len=n)
 
-    return pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -131,19 +144,26 @@ def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, 8), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v)[:, :n]
+    )(q, k, v)
+    return out[:, :n], lse[:, :n, 0]
 
 
-def _decode_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch,
-                   acc_scratch, *, scale: float, block_k: int):
+def _decode_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch,
+                   l_scratch, acc_scratch, *, scale: float, block_k: int):
     """Cross-length attention against a fixed-capacity KV cache: query chunk
     [block_q, d] vs key blocks of the cache, keys >= valid_len masked out.
     ``valid_len`` is a traced scalar (scalar-prefetch), so one compiled kernel
@@ -184,7 +204,10 @@ def _decode_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch,
 
     @pl.when(ki == num_k - 1)
     def _finalize():
-        o_ref[0] = (acc_scratch[:] / jnp.maximum(l_scratch[:], 1e-30)).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_scratch[:], 1e-30)
+        o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(m_scratch[:] + jnp.log(l_safe),
+                                      lse_ref.shape[1:])
 
 
 def _divisor_block(n: int, cap: int, floor: int = 128) -> Optional[int]:
@@ -227,7 +250,7 @@ def _decode_forward(q, k, v, valid_len, scale, block_q, block_k, interpret=False
         # fetch block 0 instead of blocks entirely past valid_len (skipped)
         return (b, jnp.where(j * bk < valid_ref[0], j, 0), 0)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, block_k=bk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -237,17 +260,305 @@ def _decode_forward(q, k, v, valid_len, scale, block_q, block_k, interpret=False
                 pl.BlockSpec((1, bk, d), kv_index),
                 pl.BlockSpec((1, bk, d), kv_index),
             ],
-            out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j, s: (b, i, 0)),
+            out_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i, j, s: (b, i, 0)),
+                pl.BlockSpec((1, bq, 8), lambda b, i, j, s: (b, i, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((bq, 1), jnp.float32),
                 pltpu.VMEM((bq, 1), jnp.float32),
                 pltpu.VMEM((bq, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, q_pad, 8), jnp.float32),
+        ],
         interpret=interpret,
     )(valid, q, k, v)
-    return out[:, :n_q]
+    return out[:, :n_q], lse[:, :n_q, 0]
+
+
+# ---------------------------------------------------------------------------
+# Flash backward: two Pallas kernels, nothing [N, N] in HBM.
+#
+#   delta = rowsum(dO * O)                      (XLA, [BH, N])
+#   p  = exp(s - lse)  per block                (recomputed from residual lse)
+#   ds = p * (dO V^T - delta) * scale
+#   dq kernel  (grid q-outer, k-inner):  dq += ds K
+#   dkv kernel (grid k-outer, q-inner):  dv += p^T dO ; dk += ds^T Q
+#
+# Both support block-causal masks with the same analytic block skipping as
+# the forward, a static valid_len (ragged self-attention padding), and a
+# traced valid_len via scalar prefetch (KV-cache decode path).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_masked_logits(q, k, qi, ki, block_q, block_k, scale, causal_block,
+                       static_valid, valid):
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    if causal_block is not None:
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        allowed = (k_pos // causal_block) <= (q_pos // causal_block)
+        s = jnp.where(allowed, s, NEG_INF)
+    if static_valid is not None:
+        s = jnp.where(k_pos < static_valid, s, NEG_INF)
+    if valid is not None:
+        s = jnp.where(k_pos < valid, s, NEG_INF)
+    return s
+
+
+def _flash_bwd_dq_kernel(*args, scale, block_q, block_k, causal_block,
+                         static_valid, dynamic_valid):
+    if dynamic_valid:
+        (valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_scratch) = args
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_scratch) = args
+        valid_ref = None
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    num_k = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    def _compute():
+        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        s = _bwd_masked_logits(q, k, qi, ki, block_q, block_k, scale,
+                               causal_block, static_valid,
+                               valid_ref[0] if dynamic_valid else None)
+        p = jnp.exp(s - lse_ref[0][:, :1])
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, :1]) * scale
+        dq_scratch[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    need = None
+    if causal_block is not None:
+        need = (ki * block_k // causal_block) <= \
+            ((qi * block_q + block_q - 1) // causal_block)
+    if dynamic_valid:
+        dyn = ki * block_k < valid_ref[0]
+        need = dyn if need is None else jnp.logical_and(need, dyn)
+    if need is None:
+        _compute()
+    else:
+        pl.when(need)(_compute)
+
+    @pl.when(ki == num_k - 1)
+    def _finalize():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(*args, scale, block_q, block_k, causal_block,
+                          static_valid, dynamic_valid):
+    if dynamic_valid:
+        (valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scratch, dv_scratch) = args
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scratch, dv_scratch) = args
+        valid_ref = None
+    ki = pl.program_id(1)
+    qj = pl.program_id(2)
+    num_q = pl.num_programs(2)
+
+    @pl.when(qj == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    def _compute():
+        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        s = _bwd_masked_logits(q, k, qj, ki, block_q, block_k, scale,
+                               causal_block, static_valid,
+                               valid_ref[0] if dynamic_valid else None)
+        p = jnp.exp(s - lse_ref[0][:, :1])
+        dv_scratch[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, :1]) * scale
+        dk_scratch[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    need = None
+    if causal_block is not None:
+        # a k block only receives gradient from q blocks at/after its causal
+        # reach: skip q blocks entirely before it
+        need = (ki * block_k // causal_block) <= \
+            ((qj * block_q + block_q - 1) // causal_block)
+    if dynamic_valid:
+        dyn = ki * block_k < valid_ref[0]
+        need = dyn if need is None else jnp.logical_and(need, dyn)
+    if need is None:
+        _compute()
+    else:
+        pl.when(need)(_compute)
+
+    @pl.when(qj == num_q - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _bwd_blocks(n_q: int, n_kv: int, itemsize: int, block_q: int,
+                block_k: int):
+    """Backward block sizing: ~4 [bq,bk] f32 intermediates live at once plus
+    two [bk,d] f32 scratch accumulators -> cap at 512 (256 for f32 inputs),
+    preferring exact divisors to avoid padded-row MXU waste."""
+    cap = 512 if itemsize < 4 else 256
+    cap_q, cap_k = min(block_q, cap), min(block_k, cap)
+    q8, k8 = -(-n_q // 8) * 8, -(-n_kv // 8) * 8
+    bq = _divisor_block(q8, cap_q, floor=min(cap_q, 128))
+    bk = _divisor_block(k8, cap_k, floor=min(cap_k, 128))
+    if bq is None:
+        bq = min(cap_q, q8)
+    if bk is None:
+        bk = min(cap_k, k8)
+    return bq, -(-n_q // bq) * bq, bk, -(-n_kv // bk) * bk
+
+
+def _flash_backward(q, k, v, o, lse, g, scale, causal_block, block_q, block_k,
+                    valid_len=None, interpret=False):
+    """dq/dk/dv on [BH, Nq, D] x [BH, Nkv, D]. ``valid_len``: traced int32
+    scalar (decode path) or None; ragged self-attention padding becomes a
+    static valid mask."""
+    bh, n_q, d = q.shape
+    n_kv = k.shape[1]
+    bq, q_pad, bk, kv_pad = _bwd_blocks(
+        n_q, n_kv, jnp.dtype(q.dtype).itemsize, block_q, block_k)
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    if q_pad != n_q:
+        qp = ((0, 0), (0, q_pad - n_q), (0, 0))
+        q, g = jnp.pad(q, qp), jnp.pad(g, qp)
+        # padded query rows: lse=+inf-ish -> p = 0, and dO = 0 -> ds = 0
+        lse = jnp.pad(lse, ((0, 0), (0, q_pad - n_q)),
+                      constant_values=-NEG_INF)
+        delta = jnp.pad(delta, ((0, 0), (0, q_pad - n_q)))
+    # lane-broadcast to [BH, Nq, 8] (Mosaic block-shape constraint)
+    lse = jnp.broadcast_to(lse[..., None], (*lse.shape, 8))
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
+    if kv_pad != n_kv:
+        kp = ((0, 0), (0, kv_pad - n_kv), (0, 0))
+        k, v = jnp.pad(k, kp), jnp.pad(v, kp)
+    static_valid = n_kv if (kv_pad != n_kv and valid_len is None) else None
+
+    kern = dict(scale=scale, block_q=bq, block_k=bk, causal_block=causal_block,
+                static_valid=static_valid, dynamic_valid=valid_len is not None)
+    dq_scratch = [pltpu.VMEM((bq, d), jnp.float32)]
+    dkv_scratch = [pltpu.VMEM((bk, d), jnp.float32),
+                   pltpu.VMEM((bk, d), jnp.float32)]
+    grid_dq = (bh, q_pad // bq, kv_pad // bk)
+    grid_dkv = (bh, kv_pad // bk, q_pad // bq)
+
+    if valid_len is None:
+        in_specs_dq = [
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),   # q
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),   # k
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),   # do
+            pl.BlockSpec((1, bq, 8), lambda b, i, j: (b, i, 0)),   # lse
+            pl.BlockSpec((1, bq, 8), lambda b, i, j: (b, i, 0)),   # delta
+        ]
+        dq = pl.pallas_call(
+            functools.partial(_flash_bwd_dq_kernel, **kern),
+            grid=grid_dq,
+            in_specs=in_specs_dq,
+            out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+            scratch_shapes=dq_scratch,
+            interpret=interpret,
+        )(q, k, v, g, lse, delta)
+        in_specs_dkv = [
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, j, 0)),   # q
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, i, 0)),   # k
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, i, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, j, 0)),   # do
+            pl.BlockSpec((1, bq, 8), lambda b, i, j: (b, j, 0)),   # lse
+            pl.BlockSpec((1, bq, 8), lambda b, i, j: (b, j, 0)),   # delta
+        ]
+        dk, dv = pl.pallas_call(
+            functools.partial(_flash_bwd_dkv_kernel, **kern),
+            grid=grid_dkv,
+            in_specs=in_specs_dkv,
+            out_specs=[
+                pl.BlockSpec((1, bk, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, bk, d), lambda b, i, j: (b, i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, kv_pad, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, kv_pad, d), v.dtype),
+            ],
+            scratch_shapes=dkv_scratch,
+            interpret=interpret,
+        )(q, k, v, g, lse, delta)
+    else:
+        valid = jnp.reshape(valid_len, (1,)).astype(jnp.int32)
+
+        def kv_dq(b, i, j, s):
+            # skipped k blocks fetch block 0 instead of dead cache rows
+            return (b, jnp.where(j * bk < s[0], j, 0), 0)
+
+        dq = pl.pallas_call(
+            functools.partial(_flash_bwd_dq_kernel, **kern),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid_dq,
+                in_specs=[
+                    pl.BlockSpec((1, bq, d), lambda b, i, j, s: (b, i, 0)),
+                    pl.BlockSpec((1, bk, d), kv_dq),
+                    pl.BlockSpec((1, bk, d), kv_dq),
+                    pl.BlockSpec((1, bq, d), lambda b, i, j, s: (b, i, 0)),
+                    pl.BlockSpec((1, bq, 8), lambda b, i, j, s: (b, i, 0)),
+                    pl.BlockSpec((1, bq, 8), lambda b, i, j, s: (b, i, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, bq, d),
+                                       lambda b, i, j, s: (b, i, 0)),
+                scratch_shapes=dq_scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+            interpret=interpret,
+        )(valid, q, k, v, g, lse, delta)
+        dk, dv = pl.pallas_call(
+            functools.partial(_flash_bwd_dkv_kernel, **kern),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid_dkv,
+                in_specs=[
+                    pl.BlockSpec((1, bq, d), lambda b, i, j, s: (b, j, 0)),
+                    pl.BlockSpec((1, bk, d), lambda b, i, j, s: (b, i, 0)),
+                    pl.BlockSpec((1, bk, d), lambda b, i, j, s: (b, i, 0)),
+                    pl.BlockSpec((1, bq, d), lambda b, i, j, s: (b, j, 0)),
+                    pl.BlockSpec((1, bq, 8), lambda b, i, j, s: (b, j, 0)),
+                    pl.BlockSpec((1, bq, 8), lambda b, i, j, s: (b, j, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, bk, d), lambda b, i, j, s: (b, i, 0)),
+                    pl.BlockSpec((1, bk, d), lambda b, i, j, s: (b, i, 0)),
+                ],
+                scratch_shapes=dkv_scratch,
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, kv_pad, d), k.dtype),
+                jax.ShapeDtypeStruct((bh, kv_pad, d), v.dtype),
+            ],
+            interpret=interpret,
+        )(valid, q, k, v, g, lse, delta)
+    return dq[:, :n_q], dk[:, :n_kv], dv[:, :n_kv]
 
 
 def _xla_decode_reference(q, k, v, valid_len, scale):
@@ -263,23 +574,24 @@ def _xla_decode_reference(q, k, v, valid_len, scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _decode_core(q, k, v, valid_len, scale, block_q, block_k, interpret):
     return _decode_forward(q, k, v, valid_len, scale, block_q, block_k,
-                           interpret=interpret)
+                           interpret=interpret)[0]
 
 
 def _decode_core_fwd(q, k, v, valid_len, scale, block_q, block_k, interpret):
-    out = _decode_forward(q, k, v, valid_len, scale, block_q, block_k,
-                          interpret=interpret)
-    return out, (q, k, v, valid_len)
+    out, lse = _decode_forward(q, k, v, valid_len, scale, block_q, block_k,
+                               interpret=interpret)
+    return out, (q, k, v, out, lse, valid_len)
 
 
 def _decode_core_bwd(scale, block_q, block_k, interpret, res, g):
-    # XLA recompute: materializes [Nq, Nkv] logits — fine at training chunk
-    # sizes (Self-Forcing rollout exit steps); a Pallas bwd is a later opt.
-    q, k, v, valid_len = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_decode_reference(q_, k_, v_, valid_len, scale),
-        q, k, v)
-    return vjp(g) + (None,)
+    # Pallas flash backward with the traced valid_len as scalar prefetch —
+    # the Self-Forcing rollout trains through this without ever forming the
+    # [Nq, Nkv] logits (the old XLA recompute did)
+    q, k, v, o, lse, valid_len = res
+    dq, dk, dv = _flash_backward(q, k, v, o, lse, g, scale, None,
+                                 block_q, block_k, valid_len=valid_len,
+                                 interpret=interpret)
+    return dq, dk, dv, None
 
 
 _decode_core.defvjp(_decode_core_fwd, _decode_core_bwd)
@@ -323,20 +635,19 @@ def _xla_reference(q, k, v, scale, causal_block):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_core(q, k, v, scale, causal_block, block_q, block_k, interpret):
     return _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
-                          interpret=interpret)
+                          interpret=interpret)[0]
 
 
 def _flash_core_fwd(q, k, v, scale, causal_block, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
-                         interpret=interpret)
-    return out, (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
+                              interpret=interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_core_bwd(scale, causal_block, block_q, block_k, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale, causal_block),
-                     q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_backward(q, k, v, o, lse, g, scale, causal_block,
+                           block_q, block_k, interpret=interpret)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)

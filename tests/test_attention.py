@@ -56,6 +56,42 @@ def test_flash_grad_matches_xla():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("causal_block", [None, 64])
+def test_flash_grad_all_inputs(causal_block):
+    """The Pallas dq + dk/dv backward kernels match XLA grads for every
+    input, dense and block-causal."""
+    q, k, v = qkv(n=256)
+
+    def loss(fn):
+        return lambda q_, k_, v_: (fn(q_, k_, v_) * jnp.cos(
+            jnp.arange(q.shape[1])[None, :, None, None])).sum()
+
+    gf = jax.grad(loss(lambda *a: flash_attention(
+        *a, causal_block=causal_block, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss(lambda *a: _ref(*a, causal_block)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("n,causal_block", [(300, None), (520, 130)])
+def test_flash_grad_ragged(n, causal_block):
+    """Backward through the internal padding path: padded keys contribute no
+    gradient and padded query rows are sliced off."""
+    b, h, d = 1, 2, 32
+    q, k, v = [jax.random.normal(jax.random.fold_in(KEY, 30 + i), (b, n, h, d))
+               for i in range(3)]
+    gf = jax.grad(lambda *a: (flash_attention(
+        *a, causal_block=causal_block, interpret=True,
+        block_q=128, block_k=128) ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: (_ref(*a, causal_block) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4, err_msg=f"d{name}")
+
+
 def test_block_causal_masks_future():
     """Output of block b must not depend on keys in blocks > b."""
     q, k, v = qkv(n=128)
@@ -138,6 +174,33 @@ def test_flash_decode_grad_matches_dense():
                                                      block_k=128) ** 2).sum())(q)
     g2 = jax.grad(lambda q_: (_decode_ref(q_, k, v, vl) ** 2).sum())(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
+
+
+def test_flash_decode_grad_kv_under_jit():
+    """Decode backward (Pallas, scalar-prefetch valid_len) matches dense
+    grads for q, k AND v under jit with a traced valid_len; keys past
+    valid_len get exactly zero gradient."""
+    b, h, d, nq, nkv = 1, 2, 32, 48, 256
+    q = jax.random.normal(jax.random.fold_in(KEY, 26), (b, nq, h, d))
+    k = jax.random.normal(jax.random.fold_in(KEY, 27), (b, nkv, h, d))
+    v = jax.random.normal(jax.random.fold_in(KEY, 28), (b, nkv, h, d))
+
+    @jax.jit
+    def gflash(q_, k_, v_, vl):
+        return jax.grad(lambda a, b_, c: (flash_decode_attention(
+            a, b_, c, vl, interpret=True, block_k=128) ** 2).sum(),
+            argnums=(0, 1, 2))(q_, k_, v_)
+
+    for valid in (96, 160):
+        vl = jnp.asarray(valid, jnp.int32)
+        gf = gflash(q, k, v, vl)
+        gx = jax.grad(lambda a, b_, c: (_decode_ref(a, b_, c, vl) ** 2).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(gf, gx, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-3, atol=1e-4, err_msg=f"d{name}")
+        assert np.all(np.asarray(gf[1][:, valid:]) == 0)
+        assert np.all(np.asarray(gf[2][:, valid:]) == 0)
 
 
 @pytest.mark.parametrize("n,causal_block", [(300, None), (300, 100), (520, 130)])

@@ -46,3 +46,30 @@ def test_train_checkpoint_resume(config):
     # metrics file exists iff wandb callback present (disabled here)
     save_path = config.log_config.save_path
     assert os.path.isdir(os.path.join(save_path, "checkpoints"))
+
+
+def test_train_profiler_trace_and_decomposition(config):
+    """TrainProfiler captures a jax.profiler trace over the configured
+    iteration window and records the data/step/host decomposition
+    (ref ``callbacks/train_profiler.py:56-138``)."""
+    import glob
+
+    from fastgen_tpu.configs.lazy import LazyCall as L
+    from fastgen_tpu.callbacks.basic import TrainProfilerCallback
+
+    config.trainer.callbacks = {"train_profiler": L(TrainProfilerCallback)(
+        logging_iter=2, trace_start_iter=2, trace_num_iters=2)}
+    model = instantiate(config.model_class, config=config.model)
+    trainer = Trainer(config)
+    trainer.run(model)
+
+    trace_dir = os.path.join(config.log_config.save_path, "profile")
+    xplanes = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                        recursive=True)
+    assert xplanes, f"no profiler trace written under {trace_dir}"
+    prof = trainer.callbacks["train_profiler"]
+    assert not prof._tracing
+    assert len(prof.iter_times) >= 4
+    assert len(prof.data_times) >= 4      # per-iteration data-fetch timing
+    assert len(prof.host_times) >= 3      # inter-step host gaps
+    assert prof.last_rate and prof.last_rate > 0
