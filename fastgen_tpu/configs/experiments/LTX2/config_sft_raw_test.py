@@ -10,7 +10,7 @@ from fastgen_tpu.configs.lazy import LazyCall as L
 from fastgen_tpu.configs.methods.config_sft import create_config as create_sft_config
 from fastgen_tpu.configs.net import LTX2_Test_Config
 from fastgen_tpu.data.class_cond_dataloader import SyntheticRawVideoLoader
-from fastgen_tpu.networks.encoders.wrappers import T5TextEncoder, VideoVAEWrapper
+from fastgen_tpu.networks.encoders.wrappers import Gemma3TextEncoder, VideoVAEWrapper
 
 
 def create_config():
@@ -21,9 +21,12 @@ def create_config():
     config.model.vae = L(VideoVAEWrapper)(
         base_ch=8, ch_mult=[1, 2], latent_channels=4,
         temporal_downsample=[True], dtype="float32", example_shape=[5, 16, 16])
-    config.model.text_encoder = L(T5TextEncoder)(
-        vocab_size=256, d_model=32, d_kv=8, num_heads=4, d_ff=48, num_layers=1,
-        rel_buckets=8, rel_max_distance=20, max_length=6, dtype="float32")
+    # Gemma3 caption stack (LTX-2 contract): hidden*(layers+1) == 32 matches
+    # LTX2_Test_Config.caption_channels
+    config.model.text_encoder = L(Gemma3TextEncoder)(
+        vocab_size=256, hidden=16, intermediate=24, num_layers=1,
+        num_heads=2, num_kv_heads=1, head_dim=8, query_pre_attn_scalar=8.0,
+        max_length=6, dtype="float32")
     config.model.input_shape = [3, 8, 8, 4]
     config.model.use_ema = False
     config.dataloader_train = L(SyntheticRawVideoLoader)(

@@ -198,6 +198,50 @@ WanTextEncoder = partial(T5TextEncoder, per_layer_rel_bias=True)
 CogVideoXTextEncoder = partial(T5TextEncoder, per_layer_rel_bias=False, max_length=226)
 
 
+class Gemma3TextEncoder(FrozenEncoder):
+    """Gemma3 LM as a frozen LTX-2 caption encoder (ref ``LTX2TextEncoder``,
+    ``fastgen/networks/LTX2/network.py:314-377``): run with all hidden states,
+    stack [B, T, H, L+1], masked-normalize and flatten to
+    [B, T, hidden*(num_layers+1)] via :func:`pack_text_embeds`."""
+
+    def __init__(self, params=None, tokenizer_path: Optional[str] = None,
+                 pretrained_path: Optional[str] = None, max_length: int = 1024,
+                 scale_factor: float = 8.0, dtype=jnp.bfloat16, **module_kw):
+        from fastgen_tpu.networks.encoders.gemma3 import (
+            Gemma3TextModel, convert_gemma3, pack_text_embeds)
+
+        module = Gemma3TextModel(**module_kw)
+        if params is None and pretrained_path:
+            from fastgen_tpu.utils.torch_convert import load_torch_state_dict
+            params = convert_gemma3(load_torch_state_dict(pretrained_path))["params"]
+        super().__init__(module, params, dtype=dtype)
+        self.max_length = max_length
+        self.scale_factor = scale_factor
+        self.tokenizer = load_hf_tokenizer(tokenizer_path) if tokenizer_path else None
+        if self.tokenizer is not None:
+            self.tokenizer.padding_side = "left"
+            if self.tokenizer.pad_token is None:
+                self.tokenizer.pad_token = self.tokenizer.eos_token
+        # the HashTokenizer fallback pads on the right
+        self.padding_side = "left" if self.tokenizer is not None else "right"
+
+        def apply(p, ids, mask):
+            _, hidden_states = self.module.apply({"params": p}, ids, mask)
+            return pack_text_embeds(hidden_states, mask, self.scale_factor,
+                                    self.padding_side)
+
+        self._apply = jax.jit(apply)
+
+    def encode(self, prompts: Sequence[str], precision=None):
+        ids, mask = _tokenize(self.tokenizer, prompts, self.module.vocab_size,
+                              self.max_length, bos=2, eos=1, pad=0)
+        emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return emb.astype(precision or self.dtype)
+
+
+LTX2TextEncoder = Gemma3TextEncoder
+
+
 class FluxTextEncoder:
     """CLIP pooled + T5 sequence (``Flux/network.py:25-170``)."""
 
