@@ -70,6 +70,8 @@ def main():
         return bench_wan()
     if os.environ.get("FASTGEN_BENCH") == "wan_ar":
         return bench_wan_ar()
+    if os.environ.get("FASTGEN_BENCH") == "wan_train":
+        return bench_wan_train()
 
     from fastgen_tpu.configs.net import EDM_CIFAR10_Config
     from fastgen_tpu.configs.methods.config_dmd2 import create_config
@@ -221,6 +223,110 @@ def bench_wan():
         "metric": "CausalWan-1.3B 21f@480p denoise steps/sec/chip (bf16, block-causal)",
         "value": round(b / dt, 3),
         "unit": "denoise steps/sec",
+        "vs_baseline": 1.0,
+    }
+    if mfu is not None:
+        record["mfu"] = round(mfu, 4)
+        record["device_kind"] = device_kind
+    print(json.dumps(record))
+
+
+def bench_wan_train():
+    """Training metric: diffusion-forcing CausalWan-1.3B training step/sec —
+    value-and-grad of a DSM loss through the full 21-frame 480p-latent clip
+    (32,760 tokens of block-causal self-attention, bf16 params, f32 loss).
+    This is the workload the Pallas flash backward exists for: the XLA
+    attention path materializes [32k, 32k] f32 logits under grad and OOMs
+    (set FASTGEN_ATTN_IMPL=xla to reproduce)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastgen_tpu.configs.net import CausalWan_1_3B_Config
+    from fastgen_tpu.utils import instantiate
+
+    cfg = CausalWan_1_3B_Config
+    # scan-over-blocks + segment remat: the only configuration whose 32k-token
+    # backward fits a 16G v5e — the python-loop remat's scheduler overlaps
+    # ~12 blocks' recompute workspace and OOMs (see WanVideoDiT.scan_blocks)
+    cfg.remat = True
+    cfg.scan_blocks = True
+    net = instantiate(cfg)
+    key = jax.random.PRNGKey(0)
+    dtype = jnp.bfloat16
+    b = int(os.environ.get("FASTGEN_BENCH_BATCH", "1"))
+    x = jax.random.normal(key, (b, 21, 60, 104, 16), dtype)
+    t = jnp.full((b,), 0.9, jnp.float32)
+    cond = {"text_embeds": jax.random.normal(key, (b, 512, 4096), dtype)}
+    params = net.init({"params": key}, x[:, :3], t, condition=cond)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params)
+
+    def loss_fn(p, noisy, t, c, target):
+        pred = net.apply(p, noisy, t, condition=c, fwd_pred_type="x0",
+                         causal=True)
+        return jnp.mean((pred.astype(jnp.float32) -
+                         target.astype(jnp.float32)) ** 2)
+
+    import optax
+
+    def step_fn(p, noisy, t, c, target):
+        loss, grads = jax.value_and_grad(loss_fn)(p, noisy, t, c, target)
+        # reduce grads to a scalar on device: returning the full 2.6 GB grad
+        # tree as a jit output double-buffers across chained reps and OOMs;
+        # the global norm still forces the whole backward to run
+        return loss, optax.global_norm(grads)
+
+    step = jax.jit(step_fn)
+
+    def sync(loss, gnorm):
+        return float(loss) + float(gnorm)
+
+    target = jax.random.normal(jax.random.fold_in(key, 1), x.shape, dtype)
+    loss, gnorm = step(params, x, t, cond, target)
+    sync(loss, gnorm)
+    # model FLOPs, exact analytic count (cost_analysis is unreliable over
+    # lax.scan bodies; the flash custom calls are invisible to it anyway).
+    # MFU convention: useful FLOPs only — fwd + 2x for backward; the remat
+    # recompute is NOT counted (it is overhead, not model compute).
+    f, hgt, wid = 21, 60 // 2, 104 // 2
+    n_tok = f * hgt * wid
+    l_txt = 512
+    d, ffd, nl = net.dim, net.ffn_dim, net.num_layers
+    chunk_tokens = net.chunk_size * hgt * wid
+    n_chunks = f // net.chunk_size
+    allowed_pairs = sum(chunk_tokens * i * chunk_tokens
+                        for i in range(1, n_chunks + 1))
+    per_layer = (
+        4 * 2 * n_tok * d * d          # self-attn q/k/v/out projections
+        + 2 * 2 * n_tok * d * d        # cross-attn q/out
+        + 2 * 2 * l_txt * d * d        # cross-attn k/v over text tokens
+        + 2 * 2 * n_tok * d * ffd      # FFN fc1/fc2
+        + 4 * allowed_pairs * d        # block-causal self-attn (qk^T + p@v)
+        + 4 * n_tok * l_txt * d        # cross-attn scores + out
+    )
+    embed_head = 2 * 2 * n_tok * d * (
+        net.in_channels * net.patch_size[0] * net.patch_size[1]
+        * net.patch_size[2] + net.out_channels)
+    fwd_flops = b * (nl * per_layer + embed_head)
+    flops_per_call = 3.0 * fwd_flops
+    reps = int(os.environ.get("FASTGEN_BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    noisy = x
+    for i in range(reps):
+        loss, gnorm = step(params, noisy, t, cond, target)
+        # chain the scalar loss into the next input so reps serialize on device
+        noisy = x + (0.0 * loss).astype(dtype)
+    sync(loss, gnorm)
+    elapsed = time.perf_counter() - t0
+    dt = elapsed / reps
+    mfu, device_kind = _mfu(flops_per_call, reps, elapsed)
+    record = {
+        "metric": ("CausalWan-1.3B 21f@480p diffusion-forcing training "
+                   "step/sec/chip (32,760-token block-causal, bf16)"),
+        "value": round(b / dt, 4),
+        "unit": "train steps/sec",
         "vs_baseline": 1.0,
     }
     if mfu is not None:

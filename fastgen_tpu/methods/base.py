@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Tuple
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -308,7 +310,19 @@ class FastGenModel:
         """Load torch teacher/student checkpoints into the param dict
         (ref ``model.py:600-644`` _load_pretrained_model)."""
         path = getattr(self.config, "pretrained_model_path", "")
-        if path:
+        if path and os.path.isdir(path):
+            # a fastgen-tpu Orbax run directory (e.g. a stage-1 SFT teacher
+            # feeding a distillation recipe) — native counterpart of the
+            # reference loading its own trained torch ckpts (model.py:600-644)
+            from fastgen_tpu.utils.checkpointer import load_native_net_params
+
+            variables = _tree_cast(load_native_net_params(path), self.precision)
+            for key in ("teacher", "net"):
+                if key == "net" and not self.config.load_student_weights:
+                    continue
+                if key in params:
+                    params[key] = self._merge_variables(params[key], variables)
+        elif path:
             from fastgen_tpu.utils import torch_convert
 
             arch = self._checkpoint_arch(self.nets.get("teacher") or self.net)

@@ -214,7 +214,7 @@ class WanCrossAttention(nn.Module):
         q = q.reshape(b, n, self.num_heads, head_dim)
         k, v = cached_kv if cached_kv is not None else self.kv(context)
         out = dot_product_attention(q, k.astype(q.dtype), v.astype(q.dtype),
-                                    impl="xla")
+                                    impl=self.attn_impl)
         return self.to_out(out.reshape(b, n, self.dim))
 
 
@@ -238,6 +238,13 @@ class WanBlock(nn.Module):
     qk_norm: bool = True
     cross_attn_norm: bool = True
     attn_impl: Optional[str] = None
+    # segment-level rematerialization: checkpoint only the three residual-
+    # stream boundaries inside the block so a block-level remat backward
+    # holds max(one segment's internals) instead of ALL of them at once —
+    # the forward recompute's intermediates are consumed in reverse order by
+    # the backward, so without this every [N, ffn_dim]/f32 [N, D] buffer of
+    # the block co-lives (~6 GB at 32,760 tokens vs ~3 GB with segments)
+    remat_inner: bool = False
 
     def setup(self):
         self.norm1 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
@@ -290,23 +297,44 @@ class WanBlock(nn.Module):
         (shift_msa, scale_msa, gate_msa,
          c_shift, c_scale, c_gate) = self._mod_params(temb)
 
-        xf = x.astype(jnp.float32)
-        norm_x = self._mod(self.norm1(xf), scale_msa, shift_msa).astype(x.dtype)
+        def seg_self(mdl, x_):
+            xf = x_.astype(jnp.float32)
+            norm_x = mdl._mod(mdl.norm1(xf), scale_msa, shift_msa).astype(x_.dtype)
+            attn_out = mdl.attn1(norm_x, rope=rope, causal_block=causal_block)
+            return (xf + mdl._gate(attn_out.astype(jnp.float32),
+                                   gate_msa)).astype(x_.dtype)
+
+        def seg_cross(mdl, x_):
+            norm_x = mdl.norm2(x_.astype(jnp.float32)).astype(x_.dtype)
+            return x_ + mdl.attn2(norm_x, context=context, cached_kv=cross_kv)
+
+        def seg_ffn(mdl, x_):
+            xf = x_.astype(jnp.float32)
+            norm_x = mdl._mod(mdl.norm3(xf), c_scale, c_shift).astype(x_.dtype)
+            ff = mdl.ffn(norm_x)
+            return (xf + mdl._gate(ff.astype(jnp.float32),
+                                   c_gate)).astype(x_.dtype)
+
         if self_cache is not None:
+            xf = x.astype(jnp.float32)
+            norm_x = self._mod(self.norm1(xf), scale_msa, shift_msa).astype(x.dtype)
             attn_out, new_cache = self.attn1.cached(norm_x, rope, self_cache,
                                                     start_token, store_kv=store_kv)
-        else:
-            attn_out = self.attn1(norm_x, rope=rope, causal_block=causal_block)
+            x = (xf + self._gate(attn_out.astype(jnp.float32),
+                                 gate_msa)).astype(x.dtype)
+        elif self.remat_inner:
+            x = nn.remat(seg_self, prevent_cse=False)(self, x)
             new_cache = None
-        x = (xf + self._gate(attn_out.astype(jnp.float32), gate_msa)).astype(x.dtype)
+        else:
+            x = seg_self(self, x)
+            new_cache = None
 
-        norm_x = self.norm2(x.astype(jnp.float32)).astype(x.dtype)
-        x = x + self.attn2(norm_x, context=context, cached_kv=cross_kv)
-
-        xf = x.astype(jnp.float32)
-        norm_x = self._mod(self.norm3(xf), c_scale, c_shift).astype(x.dtype)
-        ff = self.ffn(norm_x)
-        x = (xf + self._gate(ff.astype(jnp.float32), c_gate)).astype(x.dtype)
+        if self.remat_inner and self_cache is None:
+            x = nn.remat(seg_cross, prevent_cse=False)(self, x)
+            x = nn.remat(seg_ffn, prevent_cse=False)(self, x)
+        else:
+            x = seg_cross(self, x)
+            x = seg_ffn(self, x)
         return x, new_cache
 
 
@@ -352,6 +380,17 @@ class WanVideoDiT(FastGenNetwork):
     r_timestep: bool = False
     time_cond_type: str = "abs"
     attn_impl: Optional[str] = None
+    remat: bool = False
+    # stacked-parameter lax.scan over the 30 identical blocks: the TPU-native
+    # layout for long-sequence training — XLA compiles ONE block and the
+    # scan loop hard-serializes per-block backward recomputation, bounding
+    # activation workspace to saved-inputs + one block (the python loop's
+    # latency-hiding scheduler overlaps ~12 blocks' remat workspace and OOMs
+    # a 16G v5e at 32,760 tokens). Param layout: params['blocks'] leaves get
+    # a leading [num_layers] axis (use stack_block_params to convert).
+    # Feature taps / skip_layers / KV-cache paths need per-block access and
+    # require scan_blocks=False.
+    scan_blocks: bool = False
     net_pred_type: str = "flow"
     schedule_type: str = "rf"
 
@@ -369,10 +408,18 @@ class WanVideoDiT(FastGenNetwork):
                            if self.r_timestep else None)
         self.text_embedder_0 = nn.Dense(self.dim, name="text_embedder_0")
         self.text_embedder_2 = nn.Dense(self.dim, name="text_embedder_2")
-        self.blocks = [WanBlock(self.dim, self.num_heads, self.ffn_dim,
-                                self.qk_norm, self.cross_attn_norm, self.attn_impl,
-                                name=f"blocks_{i}")
-                       for i in range(self.num_layers)]
+        if self.scan_blocks:
+            self.block_stack = WanBlock(self.dim, self.num_heads, self.ffn_dim,
+                                        self.qk_norm, self.cross_attn_norm,
+                                        self.attn_impl, remat_inner=self.remat,
+                                        name="blocks")
+            self.blocks = []
+        else:
+            self.blocks = [WanBlock(self.dim, self.num_heads, self.ffn_dim,
+                                    self.qk_norm, self.cross_attn_norm,
+                                    self.attn_impl, remat_inner=self.remat,
+                                    name=f"blocks_{i}")
+                           for i in range(self.num_layers)]
         self.norm_out = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                                      name="norm_out")
         self.proj_out = nn.Dense(int(np.prod(self.patch_size)) * self.out_channels,
@@ -474,27 +521,68 @@ class WanVideoDiT(FastGenNetwork):
 
         features = []
         x = tokens
-        for idx, block in enumerate(self.blocks):
-            if skip_layers is not None and idx in skip_layers:
-                continue
-            x, _ = block(x, timestep_proj, context, (cos, sin), frame_seqlen,
-                         causal_block=causal_block)
-            if idx in feature_indices:
-                features.append(x.reshape(x.shape[0], f, hp, wp, self.dim))
-            if return_features_early and len(features) == len(feature_indices):
+        if self.scan_blocks:
+            if feature_indices or skip_layers:
+                raise ValueError(
+                    "feature_indices/skip_layers need per-block access; "
+                    "use scan_blocks=False for discriminator taps and SLG")
+
+            def _body(blk, carry, tp_, ctx_, cos_, sin_):
+                y, _ = blk(carry, tp_, ctx_, (cos_, sin_), frame_seqlen,
+                           causal_block=causal_block)
+                return y, None
+
+            if self.remat:
+                # prevent_cse=False: lax.scan's loop body is already a CSE
+                # barrier, and it lets XLA fuse the block cleanly
+                _body = nn.remat(_body, prevent_cse=False)
+            scan = nn.scan(_body, variable_axes={"params": 0},
+                           split_rngs={"params": True},
+                           in_axes=(nn.broadcast,) * 4,
+                           length=self.num_layers)
+            x, _ = scan(self.block_stack, x, timestep_proj, context, cos, sin)
+        else:
+            for idx, block in enumerate(self.blocks):
+                if skip_layers is not None and idx in skip_layers:
+                    continue
+                if self.remat:
+                    # rematerialize each block under grad: at diffusion-forcing
+                    # video lengths (21f@480p = 32,760 tokens) the per-block FFN
+                    # activations are ~560 MB bf16 — without remat the backward
+                    # OOMs HBM. frame_seqlen/causal_block are python ints and
+                    # stay static via the closure.
+                    def _blk(blk, x_, tp_, ctx_, cos_, sin_):
+                        return blk(x_, tp_, ctx_, (cos_, sin_), frame_seqlen,
+                                   causal_block=causal_block)[0]
+
+                    x = nn.remat(_blk)(block, x, timestep_proj, context, cos, sin)
+                else:
+                    x, _ = block(x, timestep_proj, context, (cos, sin),
+                                 frame_seqlen, causal_block=causal_block)
+                if idx in feature_indices:
+                    features.append(x.reshape(x.shape[0], f, hp, wp, self.dim))
+                if return_features_early and len(features) == len(feature_indices):
+                    return features
+            if return_features_early:
                 return features
-        if return_features_early:
-            return features
 
         # output modulation: per-frame (ref ``classify_forward`` norm_out path)
-        shift, scale = [p.squeeze(2) for p in jnp.split(
-            self.out_scale_shift_table[:, None].astype(jnp.float32)
-            + temb[:, :, None].astype(jnp.float32), 2, axis=2)]
-        xn = self.norm_out(x.astype(jnp.float32)).reshape(
-            x.shape[0], f, frame_seqlen, self.dim)
-        xn = xn * (1 + scale[:, :, None]) + shift[:, :, None]
-        x = xn.reshape(x.shape[0], f * frame_seqlen, self.dim).astype(x.dtype)
-        x = self.proj_out(x)
+        def _head(mdl, x_, temb_):
+            shift, scale = [p.squeeze(2) for p in jnp.split(
+                mdl.out_scale_shift_table[:, None].astype(jnp.float32)
+                + temb_[:, :, None].astype(jnp.float32), 2, axis=2)]
+            xn = mdl.norm_out(x_.astype(jnp.float32)).reshape(
+                x_.shape[0], f, frame_seqlen, mdl.dim)
+            xn = xn * (1 + scale[:, :, None]) + shift[:, :, None]
+            xo = xn.reshape(x_.shape[0], f * frame_seqlen, mdl.dim).astype(x_.dtype)
+            return mdl.proj_out(xo)
+
+        if self.remat:
+            # remat the output head: its f32 [N, D] norm/modulation buffers
+            # (~0.6 GB at 32,760 tokens) otherwise persist to the backward
+            x = nn.remat(_head, prevent_cse=False)(self, x, temb)
+        else:
+            x = _head(self, x, temb)
         out = self._unpatchify(x, grid, x_t.shape[0])
 
         t_conv = t_in if t_in.ndim == 1 else t_in[:, :, None, None, None]
@@ -690,3 +778,30 @@ class CausalWanVideoDiT(WanVideoDiT, CausalFastGenNetwork):
             # (~6 GB for Wan-1.3B@480p) on every denoising step
             new_cache = None
         return out, new_cache
+
+
+def stack_block_params(params):
+    """Convert a per-block param tree (``blocks_0`` .. ``blocks_{L-1}``, the
+    ``scan_blocks=False`` / checkpoint-converter layout) into the stacked
+    ``blocks`` layout used by ``scan_blocks=True`` (leading [L] axis on every
+    block leaf). Non-block entries pass through unchanged."""
+    out = {k: v for k, v in params.items() if not k.startswith("blocks_")}
+    idxs = sorted((int(k.split("_")[-1]) for k in params
+                   if k.startswith("blocks_")))
+    if idxs:
+        assert idxs == list(range(len(idxs))), f"non-contiguous blocks: {idxs}"
+        out["blocks"] = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[params[f"blocks_{i}"] for i in idxs])
+    return out
+
+
+def unstack_block_params(params):
+    """Inverse of :func:`stack_block_params`."""
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    if "blocks" in params:
+        num_layers = jax.tree_util.tree_leaves(params["blocks"])[0].shape[0]
+        for i in range(num_layers):
+            out[f"blocks_{i}"] = jax.tree_util.tree_map(
+                lambda x: x[i], params["blocks"])
+    return out

@@ -50,7 +50,11 @@ def dot_product_attention(q, k, v, bias=None, mask=None, scale=None,
     impl = impl or os.environ.get("FASTGEN_ATTN_IMPL", "auto")
     n = q.shape[1]
 
-    flash_ok = bias is None and mask is None and q.shape == k.shape == v.shape
+    # cross-attention (n_q != n_kv) is supported by the kernel (q/kv are
+    # padded independently) as long as no block-causal mask is requested
+    flash_ok = (bias is None and mask is None and k.shape == v.shape
+                and q.shape[0] == k.shape[0] and q.shape[2:] == k.shape[2:]
+                and (causal_block is None or q.shape[1] == k.shape[1]))
     use_flash = (impl == "flash" or
                  (impl == "auto" and jax.default_backend() == "tpu"
                   and n >= _FLASH_MIN_SEQ)) and flash_ok

@@ -110,31 +110,35 @@ def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
     """q,k,v: [BH, N, D] -> (out [BH, N, D], lse [BH, N] f32). Ragged N is
     zero-padded up to the block size; padded keys are masked analytically,
     padded query rows are sliced off."""
-    bh, n, d = q.shape
+    bh, n_q, d = q.shape
+    n_kv = k.shape[1]
     # prefer blocks that divide n exactly: padded rows/keys are wasted MXU
     # work and large blocks amortize the online-softmax VPU overhead
     # (32760 tokens: blocks (1560, 936) run ~2x faster than (256, 512));
     # f32 inputs double VMEM pressure -> halve the caps to stay under ~16MB
     if jnp.dtype(q.dtype).itemsize >= 4:
         block_q, block_k = block_q // 2, block_k // 2
-    n8 = -(-n // 8) * 8
-    bq = _divisor_block(n8, block_q, floor=min(block_q, 128))
-    bk = _divisor_block(n8, block_k, floor=min(block_k, 128))
-    if bq is not None and bk is not None:
-        block_q, block_k, n_pad = bq, bk, n8
-    else:
-        block_q = block_k = min(block_q, block_k, max(8, n8))
-        n_pad = -(-n // block_q) * block_q
-    if n_pad != n:
-        pad = ((0, 0), (0, n_pad - n), (0, 0))
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-    grid = (bh, n_pad // block_q, n_pad // block_k)
+    nq8 = -(-n_q // 8) * 8
+    nkv8 = -(-n_kv // 8) * 8
+    bq = _divisor_block(nq8, block_q, floor=min(block_q, 128))
+    if bq is None:
+        bq = min(block_q, max(8, nq8))
+    bk = _divisor_block(nkv8, block_k, floor=min(block_k, 128))
+    if bk is None:
+        bk = min(block_k, max(8, nkv8))
+    block_q, block_k = bq, bk
+    q_pad = -(-n_q // block_q) * block_q
+    kv_pad = -(-n_kv // block_k) * block_k
+    if q_pad != n_q:
+        q = jnp.pad(q, ((0, 0), (0, q_pad - n_q), (0, 0)))
+    if kv_pad != n_kv:
+        kp = ((0, 0), (0, kv_pad - n_kv), (0, 0))
+        k, v = jnp.pad(k, kp), jnp.pad(v, kp)
+    grid = (bh, q_pad // block_q, kv_pad // block_k)
 
     kernel = functools.partial(
         _flash_fwd_kernel, scale=scale, block_q=block_q, block_k=block_k,
-        causal_block=causal_block, seq_len=n_pad, valid_len=n)
+        causal_block=causal_block, seq_len=kv_pad, valid_len=n_kv)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -149,8 +153,8 @@ def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
             pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, q_pad, 8), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -159,7 +163,7 @@ def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
         ],
         interpret=interpret,
     )(q, k, v)
-    return out[:, :n], lse[:, :n, 0]
+    return out[:, :n_q], lse[:, :n_q, 0]
 
 
 def _decode_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch,
@@ -657,18 +661,23 @@ def flash_attention(q, k, v, mask=None, scale: Optional[float] = None,
                     causal_block: Optional[int] = None,
                     block_q: int = 1600, block_k: int = 1024,
                     interpret: bool = False):
-    """Flash attention over [B, N, H, D]; returns [B, N, H, D].
+    """Flash attention over [B, Nq, H, D] x [B, Nkv, H, D]; returns
+    [B, Nq, H, D]. Cross-attention (Nq != Nkv) is supported with
+    ``causal_block=None``.
 
     Dense ``mask`` is unsupported in the kernel (falls back to XLA in the
     dispatcher); block-causal masks use ``causal_block``.
     """
     assert mask is None, "flash kernel supports causal_block masks only"
-    b, n, h, d = q.shape
+    b, n_q, h, d = q.shape
+    n_kv = k.shape[1]
+    assert causal_block is None or n_q == n_kv, \
+        "causal_block requires self-attention shapes"
     scale = scale if scale is not None else 1.0 / np.sqrt(d)
 
-    def to_bh(x):
+    def to_bh(x, n):
         return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
 
-    out = _flash_core(to_bh(q), to_bh(k), to_bh(v), float(scale), causal_block,
-                      block_q, block_k, interpret)
-    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    out = _flash_core(to_bh(q, n_q), to_bh(k, n_kv), to_bh(v, n_kv),
+                      float(scale), causal_block, block_q, block_k, interpret)
+    return out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)

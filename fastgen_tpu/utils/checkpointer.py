@@ -207,3 +207,25 @@ class Checkpointer:
 
 class FSDPCheckpointer(Checkpointer):
     """Alias for surface parity — Orbax is natively sharded."""
+
+
+def load_native_net_params(path: str, step: Optional[int] = None,
+                           prefer_ema: bool = True):
+    """Raw-restore a fastgen-tpu Orbax run directory and return the net's
+    variable tree — the native counterpart of ``load_torch_state_dict`` for
+    ``pretrained_model_path`` (e.g. a stage-1 SFT teacher feeding a DMD2
+    distillation run, ref ``model.py:600-644`` loads its own torch ckpts the
+    same way). Prefers the first EMA tree when present."""
+    mngr = ocp.CheckpointManager(os.path.abspath(path))
+    step = step if step is not None else mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint steps under {path}")
+    raw = mngr.restore(step)
+    mngr.close()
+    state = raw.get("state", raw)
+    if prefer_ema and state.get("ema"):
+        name = sorted(state["ema"])[0]
+        logger.info(f"Loaded native ckpt {path}@{step} (ema '{name}')")
+        return state["ema"][name]
+    logger.info(f"Loaded native ckpt {path}@{step} (net params)")
+    return state["params"]["net"]

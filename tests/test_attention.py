@@ -213,3 +213,55 @@ def test_flash_ragged_padding(n, causal_block):
                           block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(q, k, v, causal_block)),
                                rtol=2e-5, atol=2e-5)
+
+
+def _ref_cross(q, k, v):
+    b, nq, h, d = q.shape
+    nkv = k.shape[1]
+    to = lambda x, n: x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    out = _xla_reference(to(q, nq), to(k, nkv), to(v, nkv), 1 / np.sqrt(d), None)
+    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("nq,nkv", [(256, 64), (300, 512), (64, 300)])
+def test_flash_cross_attention(nq, nkv):
+    """Nq != Nkv (text cross-attention): forward parity incl. padded-KV
+    masking when the kv length is not block-divisible."""
+    b, h, d = 2, 2, 32
+    q = jax.random.normal(jax.random.fold_in(KEY, 10), (b, nq, h, d))
+    k = jax.random.normal(jax.random.fold_in(KEY, 11), (b, nkv, h, d))
+    v = jax.random.normal(jax.random.fold_in(KEY, 12), (b, nkv, h, d))
+    out = flash_attention(q, k, v, interpret=True, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref_cross(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_cross_attention_grads():
+    """Backward parity for all three inputs at Nq != Nkv."""
+    b, h, d, nq, nkv = 1, 2, 32, 192, 80
+    q = jax.random.normal(jax.random.fold_in(KEY, 13), (b, nq, h, d))
+    k = jax.random.normal(jax.random.fold_in(KEY, 14), (b, nkv, h, d))
+    v = jax.random.normal(jax.random.fold_in(KEY, 15), (b, nkv, h, d))
+
+    def loss(fn):
+        return lambda q_, k_, v_: (fn(q_, k_, v_) ** 2).sum()
+
+    gf = jax.grad(loss(lambda *a: flash_attention(
+        *a, interpret=True, block_q=64, block_k=64)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(_ref_cross), argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4, err_msg=f"d{name}")
+
+
+def test_dispatcher_flash_cross():
+    """dot_product_attention routes Nq != Nkv to the flash kernel when
+    impl='flash' and matches the XLA path."""
+    b, h, d, nq, nkv = 2, 2, 32, 256, 128
+    q = jax.random.normal(jax.random.fold_in(KEY, 16), (b, nq, h, d))
+    k = jax.random.normal(jax.random.fold_in(KEY, 17), (b, nkv, h, d))
+    v = jax.random.normal(jax.random.fold_in(KEY, 18), (b, nkv, h, d))
+    out_xla = dot_product_attention(q, k, v, impl="xla")
+    out_flash = _ref_cross(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_flash),
+                               rtol=2e-5, atol=2e-5)

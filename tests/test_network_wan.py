@@ -220,3 +220,87 @@ def test_i2v_concat_mask_pred_type_conversion():
                                      target_pred_type="x0")
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x0_ext), rtol=2e-4,
                                atol=2e-4)
+
+
+class TestScanBlocks:
+    """scan_blocks=True: stacked-param lax.scan over identical blocks — the
+    long-sequence training layout (see WanVideoDiT.scan_blocks)."""
+
+    def _pair(self):
+        from fastgen_tpu.networks.wan.network import stack_block_params
+
+        kwargs = dict(dim=96, num_layers=2, num_heads=4, ffn_dim=128,
+                      in_channels=4, out_channels=4, text_dim=32,
+                      rope_max_seq_len=64)
+        net = WanVideoDiT(**kwargs)
+        net_s = WanVideoDiT(scan_blocks=True, **kwargs)
+        x, t, cond = inputs()
+        params = net.init({"params": KEY}, x, t, condition=cond)
+        stacked = {"params": stack_block_params(params["params"])}
+        return net, net_s, params, stacked, (x, t, cond)
+
+    def test_forward_parity_and_roundtrip(self):
+        from fastgen_tpu.networks.wan.network import (stack_block_params,
+                                                      unstack_block_params)
+
+        net, net_s, params, stacked, (x, t, cond) = self._pair()
+        o1 = net.apply(params, x, t, condition=cond)
+        o2 = net_s.apply(stacked, x, t, condition=cond)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-5, atol=2e-5)
+        # layout round-trip
+        rt = unstack_block_params(stacked["params"])
+        for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(params["params"]),
+                                  jax.tree_util.tree_leaves(rt)):
+            np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b))
+
+    def test_remat_grads_match(self):
+        """scan+segment-remat backward == python-loop backward."""
+        kwargs = dict(dim=96, num_layers=2, num_heads=4, ffn_dim=128,
+                      in_channels=4, out_channels=4, text_dim=32,
+                      rope_max_seq_len=64)
+        from fastgen_tpu.networks.wan.network import stack_block_params
+
+        net = WanVideoDiT(**kwargs)
+        net_sr = WanVideoDiT(scan_blocks=True, remat=True, **kwargs)
+        x, t, cond = inputs()
+        params = net.init({"params": KEY}, x, t, condition=cond)
+        stacked = {"params": stack_block_params(params["params"])}
+
+        g1 = jax.grad(lambda p: (net.apply(p, x, t, condition=cond) ** 2
+                                 ).sum())(params)
+        g2 = jax.grad(lambda p: (net_sr.apply(p, x, t, condition=cond) ** 2
+                                 ).sum())(stacked)
+        g1s = stack_block_params(g1["params"])
+        flat1 = {jax.tree_util.keystr(k): v for k, v
+                 in jax.tree_util.tree_leaves_with_path(g1s)}
+        flat2 = {jax.tree_util.keystr(k): v for k, v
+                 in jax.tree_util.tree_leaves_with_path(g2["params"])}
+        assert set(flat1) == set(flat2)
+        for k in flat1:
+            np.testing.assert_allclose(np.asarray(flat1[k]),
+                                       np.asarray(flat2[k]),
+                                       rtol=2e-4, atol=2e-4, err_msg=k)
+
+    def test_feature_taps_rejected(self):
+        _, net_s, _, stacked, (x, t, cond) = self._pair()
+        with pytest.raises(ValueError, match="per-block access"):
+            net_s.apply(stacked, x, t, condition=cond, feature_indices=(0,))
+
+    def test_causal_scan_blocks_forward(self):
+        """CausalWan training forward (block-causal mask) under scan."""
+        from fastgen_tpu.networks.wan.network import stack_block_params
+
+        kwargs = dict(dim=96, num_layers=2, num_heads=4, ffn_dim=128,
+                      in_channels=4, out_channels=4, text_dim=32,
+                      rope_max_seq_len=64, chunk_size=2, total_num_frames=4,
+                      frame_height=8, frame_width=8)
+        cnet = CausalWanVideoDiT(**kwargs)
+        cnet_s = CausalWanVideoDiT(scan_blocks=True, **kwargs)
+        x, t, cond = inputs()
+        params = cnet.init({"params": KEY}, x, t, condition=cond)
+        stacked = {"params": stack_block_params(params["params"])}
+        o1 = cnet.apply(params, x, t, condition=cond, causal=True)
+        o2 = cnet_s.apply(stacked, x, t, condition=cond, causal=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-5, atol=2e-5)
