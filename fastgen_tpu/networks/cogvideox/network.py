@@ -273,17 +273,32 @@ class CogVideoX(FastGenNetwork):
 
     def sample(self, noise, condition=None, neg_condition=None,
                guidance_scale: Optional[float] = 6.0, num_steps: int = 50,
-               solver: str = "euler", **kwargs):
+               solver: str = "euler", use_dynamic_cfg: bool = False, **kwargs):
         """DDIM-style x0-stepping with CFG; ``solver="dpm2m"`` switches to
         the second-order multistep (the reference uses DPM here,
-        ``CogVideoX/network.py:584``)."""
+        ``CogVideoX/network.py:584``). ``use_dynamic_cfg`` ramps the scale
+        with the CogVideoX cosine schedule
+        (``_compute_local_guidance_scale``, ``network.py:576-582``)."""
+        import math
+
         ns = self.noise_scheduler
+
+        def local_scale(step_idx: int) -> Optional[float]:
+            if not use_dynamic_cfg:
+                return guidance_scale
+            g = guidance_scale or 1.0
+            # t counts down num_steps -> 0 over the schedule in the reference;
+            # step_idx counts up, so (num_steps - t) == step_idx
+            return 1 + g * ((1 - math.cos(
+                math.pi * (step_idx / num_steps) ** 5.0)) / 2)
+
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
         if solver == "dpm2m":
             from fastgen_tpu.ops.solvers import dpm_solver_2m
 
             use_cfg_ms = (guidance_scale is not None and guidance_scale > 1.0
                           and neg_condition is not None)
+            step_of = {float(t): i for i, t in enumerate(t_list)}
 
             def x0_fn(x, t_cur):
                 tb = jnp.full((x.shape[0],), t_cur, jnp.float32)
@@ -291,7 +306,8 @@ class CogVideoX(FastGenNetwork):
                 if use_cfg_ms:
                     x0_neg = self(x, tb, condition=neg_condition,
                                   fwd_pred_type="x0")
-                    x0 = x0_neg + guidance_scale * (x0 - x0_neg)
+                    g = local_scale(step_of.get(float(t_cur), 0))
+                    x0 = x0_neg + g * (x0 - x0_neg)
                 return x0
 
             return dpm_solver_2m(x0_fn, ns, noise, t_list)
@@ -299,12 +315,12 @@ class CogVideoX(FastGenNetwork):
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
         b = x.shape[0]
-        for t_cur, t_next in zip(t_list[:-1], t_list[1:]):
+        for i, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
             tb = jnp.full((b,), t_cur, jnp.float32)
             x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
             if use_cfg:
                 x0_neg = self(x, tb, condition=neg_condition, fwd_pred_type="x0")
-                x0 = x0_neg + guidance_scale * (x0 - x0_neg)
+                x0 = x0_neg + local_scale(i) * (x0 - x0_neg)
             if t_next > 0:
                 eps = ns.x0_to_eps(x, x0, tb)
                 x = ns.forward_process(x0, eps, jnp.full((b,), t_next, jnp.float32))
