@@ -181,3 +181,43 @@ class TestRetentionAndLayout:
         Checkpointer._drop_uncommitted_steps(str(d))
         assert not bad.exists()
         assert (d / "1").exists()
+
+
+class TestNativePretrainedLoad:
+    """Stage-1 -> stage-2 handoff: pretrained_model_path pointing at a native
+    Orbax run dir loads that run's net (preferring EMA) into the new method's
+    teacher/net (the zero-egress counterpart of the reference loading its own
+    trained torch checkpoints, ``model.py:600-644``)."""
+
+    def test_load_native_net_params_prefers_ema(self, model_and_state, tmp_path):
+        from fastgen_tpu.utils.checkpointer import load_native_net_params
+
+        _, model, state = model_and_state
+        ck = Checkpointer(str(tmp_path / "ck"), async_save=False)
+        ck.save(3, state)
+        ck.wait()
+        loaded = load_native_net_params(str(tmp_path / "ck"))
+        want = (sorted(state.ema)[0] and state.ema[sorted(state.ema)[0]]) \
+            if state.ema else state.params["net"]
+        assert tree_equal(loaded, want)
+
+    def test_dmd2_consumes_stage1_checkpoint(self, model_and_state, tmp_path):
+        _, model, state = model_and_state
+        ck = Checkpointer(str(tmp_path / "stage1"), async_save=False)
+        ck.save(5, state)
+        ck.wait()
+
+        cfg2 = create_dmd2_test_config()
+        cfg2.trainer.callbacks = {}
+        cfg2.model.net.model_channels = 8
+        cfg2.model.net.num_blocks = 1
+        cfg2.model.pretrained_model_path = str(tmp_path / "stage1")
+        model2 = instantiate(cfg2.model_class, config=cfg2.model)
+        model2.init_optimizers()
+        state2 = model2.init_state(jax.random.PRNGKey(9))
+
+        src = state.ema[sorted(state.ema)[0]] if state.ema \
+            else state.params["net"]
+        # teacher took the stage-1 weights; fake_score is seeded from teacher
+        assert tree_equal(state2.params["teacher"], src)
+        assert tree_equal(state2.params["fake_score"], src)
