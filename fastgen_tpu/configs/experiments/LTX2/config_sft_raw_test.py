@@ -24,6 +24,7 @@ def create_config():
     # Gemma3 caption stack (LTX-2 contract): hidden*(layers+1) == 32 matches
     # LTX2_Test_Config.caption_channels
     config.model.text_encoder = L(Gemma3TextEncoder)(
+        allow_hash_tokenizer=True,
         vocab_size=256, hidden=16, intermediate=24, num_layers=1,
         num_heads=2, num_kv_heads=1, head_dim=8, query_pre_attn_scalar=8.0,
         max_length=6, dtype="float32")

@@ -22,6 +22,7 @@ def create_config():
         ch_mult=[1, 2], base_ch=8, latent_channels=4, dtype="float32",
         example_hw=16)
     config.model.text_encoder = L(StableDiffusionTextEncoder)(
+        allow_hash_tokenizer=True,
         vocab_size=99, hidden_size=16, num_layers=1, num_heads=2,
         intermediate_size=32, max_positions=16, eos_token_id=98,
         max_length=8, dtype="float32")

@@ -26,6 +26,7 @@ def create_config():
         base_ch=8, ch_mult=[1, 2], latent_channels=4,
         temporal_downsample=[True], dtype="float32", example_shape=[5, 16, 16])
     config.model.text_encoder = L(T5TextEncoder)(
+        allow_hash_tokenizer=True,
         vocab_size=256, d_model=32, d_kv=8, num_heads=4, d_ff=48, num_layers=1,
         rel_buckets=8, rel_max_distance=20, max_length=6, dtype="float32")
     config.model.input_shape = [3, 8, 8, 4]

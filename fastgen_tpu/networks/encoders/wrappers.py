@@ -67,13 +67,33 @@ def load_hf_tokenizer(name_or_path: str, cls: str = "AutoTokenizer"):
         tok_cls = getattr(transformers, cls)
         return tok_cls.from_pretrained(name_or_path, local_files_only=True)
     except Exception as e:  # noqa: BLE001 - any failure means "offline"
-        logger.warning(f"tokenizer {name_or_path} unavailable locally ({e}); "
-                       "using HashTokenizer fallback")
+        logger.warning(f"tokenizer {name_or_path} unavailable locally ({e})")
         return None
 
 
-def _tokenize(tokenizer, texts, vocab_size, max_length, **hash_kw):
+def hash_fallback_allowed(flag: Optional[bool] = None) -> bool:
+    """HashTokenizer stand-in is opt-in: embeddings from it are only
+    self-consistent, never pretrained-compatible, so real-weights runs must
+    fail loudly instead of silently generating garbage. Enable per encoder
+    (``allow_hash_tokenizer=True``) or globally
+    (``FASTGEN_ALLOW_HASH_TOKENIZER=1``)."""
+    import os
+    if flag is not None:
+        return flag
+    return os.environ.get("FASTGEN_ALLOW_HASH_TOKENIZER", "0") not in ("0", "", "false")
+
+
+def _tokenize(tokenizer, texts, vocab_size, max_length, allow_hash=None, **hash_kw):
     if tokenizer is None:
+        if not hash_fallback_allowed(allow_hash):
+            raise RuntimeError(
+                "No real tokenizer is available and the HashTokenizer fallback "
+                "is not enabled. Its embeddings are not compatible with "
+                "pretrained weights; pass allow_hash_tokenizer=True (or set "
+                "FASTGEN_ALLOW_HASH_TOKENIZER=1) to opt in for from-scratch / "
+                "smoke runs, or provide tokenizer_path pointing at a local "
+                "tokenizer.")
+        logger.warning("using HashTokenizer fallback (opt-in)")
         tokenizer = HashTokenizer(vocab_size, max_length, **hash_kw)
         return tokenizer(texts)
     out = tokenizer(list(texts), max_length=max_length, padding="max_length",
@@ -109,10 +129,12 @@ class StableDiffusionTextEncoder(FrozenEncoder):
     """CLIP-L text encoder (SD1.5). ``encode(prompts) -> [B, 77, 768]``."""
 
     def __init__(self, params=None, tokenizer_path: Optional[str] = None,
-                 max_length: int = 77, dtype=jnp.bfloat16, **module_kw):
+                 max_length: int = 77, dtype=jnp.bfloat16,
+                 allow_hash_tokenizer: Optional[bool] = None, **module_kw):
         module = CLIPTextTransformer(**module_kw)
         super().__init__(module, params, dtype=dtype)
         self.max_length = max_length
+        self.allow_hash = allow_hash_tokenizer
         self.tokenizer = load_hf_tokenizer(tokenizer_path, "CLIPTokenizer") \
             if tokenizer_path else None
         self._apply = jax.jit(lambda p, ids: self.module.apply({"params": p}, ids)[0])
@@ -120,7 +142,8 @@ class StableDiffusionTextEncoder(FrozenEncoder):
 
     def _ids(self, prompts):
         ids, _ = _tokenize(self.tokenizer, prompts, self.module.vocab_size,
-                           self.max_length, bos=49406, eos=49407, pad=49407)
+                           self.max_length, allow_hash=self.allow_hash,
+                           bos=49406, eos=49407, pad=49407)
         return ids
 
     def encode(self, prompts: Sequence[str], precision=None):
@@ -140,8 +163,9 @@ class SDXLTextEncoder:
     """
 
     def __init__(self, params_1=None, params_2=None, tokenizer_path=None,
-                 dtype=jnp.bfloat16,
+                 dtype=jnp.bfloat16, allow_hash_tokenizer: Optional[bool] = None,
                  enc1_kw: Optional[dict] = None, enc2_kw: Optional[dict] = None):
+        self.allow_hash = allow_hash_tokenizer
         enc1_kw = dict(enc1_kw or {})
         enc2_kw = dict(enc2_kw or {})
         enc2_kw.setdefault("hidden_size", 1280)
@@ -167,7 +191,8 @@ class SDXLTextEncoder:
 
     def encode(self, prompts: Sequence[str], precision=None):
         ids, _ = _tokenize(self.tokenizer, prompts, self.enc1.module.vocab_size,
-                           77, bos=49406, eos=49407, pad=49407)
+                           77, allow_hash=self.allow_hash,
+                           bos=49406, eos=49407, pad=49407)
         emb, pooled = self._apply(self.enc1.params, self.enc2.params, jnp.asarray(ids))
         dt = precision or self.dtype
         return {"text_embeds": emb.astype(dt), "pooled": pooled.astype(dt)}
@@ -177,17 +202,20 @@ class T5TextEncoder(FrozenEncoder):
     """T5/UMT5 sequence encoder (Wan: UMT5; CogVideoX/Flux: T5)."""
 
     def __init__(self, params=None, tokenizer_path: Optional[str] = None,
-                 max_length: int = 512, dtype=jnp.bfloat16, **module_kw):
+                 max_length: int = 512, dtype=jnp.bfloat16,
+                 allow_hash_tokenizer: Optional[bool] = None, **module_kw):
         module = T5Encoder(**module_kw)
         super().__init__(module, params, dtype=dtype)
         self.max_length = max_length
+        self.allow_hash = allow_hash_tokenizer
         self.tokenizer = load_hf_tokenizer(tokenizer_path) if tokenizer_path else None
         self._apply = jax.jit(
             lambda p, ids, mask: self.module.apply({"params": p}, ids, mask))
 
     def encode(self, prompts: Sequence[str], precision=None):
         ids, mask = _tokenize(self.tokenizer, prompts, self.module.vocab_size,
-                              self.max_length, bos=None, eos=1, pad=0)
+                              self.max_length, allow_hash=self.allow_hash,
+                              bos=None, eos=1, pad=0)
         emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
         # zero out padded positions like the reference (Wan masks pad tokens)
         emb = emb * jnp.asarray(mask)[..., None].astype(emb.dtype)
@@ -206,7 +234,9 @@ class Gemma3TextEncoder(FrozenEncoder):
 
     def __init__(self, params=None, tokenizer_path: Optional[str] = None,
                  pretrained_path: Optional[str] = None, max_length: int = 1024,
-                 scale_factor: float = 8.0, dtype=jnp.bfloat16, **module_kw):
+                 scale_factor: float = 8.0, dtype=jnp.bfloat16,
+                 allow_hash_tokenizer: Optional[bool] = None, **module_kw):
+        self.allow_hash = allow_hash_tokenizer
         from fastgen_tpu.networks.encoders.gemma3 import (
             Gemma3TextModel, convert_gemma3, pack_text_embeds)
 
@@ -234,7 +264,8 @@ class Gemma3TextEncoder(FrozenEncoder):
 
     def encode(self, prompts: Sequence[str], precision=None):
         ids, mask = _tokenize(self.tokenizer, prompts, self.module.vocab_size,
-                              self.max_length, bos=2, eos=1, pad=0)
+                              self.max_length, allow_hash=self.allow_hash,
+                              bos=2, eos=1, pad=0)
         emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return emb.astype(precision or self.dtype)
 
@@ -247,13 +278,16 @@ class FluxTextEncoder:
 
     def __init__(self, clip_params=None, t5_params=None, dtype=jnp.bfloat16,
                  clip_kw: Optional[dict] = None, t5_kw: Optional[dict] = None,
-                 t5_max_length: int = 512, tokenizer_paths: Tuple = (None, None)):
-        self.clip = StableDiffusionTextEncoder(clip_params, tokenizer_paths[0],
-                                               dtype=dtype, **(clip_kw or {}))
+                 t5_max_length: int = 512, tokenizer_paths: Tuple = (None, None),
+                 allow_hash_tokenizer: Optional[bool] = None):
+        self.clip = StableDiffusionTextEncoder(
+            clip_params, tokenizer_paths[0], dtype=dtype,
+            allow_hash_tokenizer=allow_hash_tokenizer, **(clip_kw or {}))
         t5_kw = dict(t5_kw or {})
         t5_kw.setdefault("per_layer_rel_bias", False)
         self.t5 = T5TextEncoder(t5_params, tokenizer_paths[1],
-                                max_length=t5_max_length, dtype=dtype, **t5_kw)
+                                max_length=t5_max_length, dtype=dtype,
+                                allow_hash_tokenizer=allow_hash_tokenizer, **t5_kw)
         self.dtype = dtype
 
         def pooled_fn(p, ids):

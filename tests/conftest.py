@@ -14,6 +14,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# tests exercise encoder plumbing offline; the HashTokenizer stand-in is
+# explicitly opted into here (production default is to fail loudly)
+os.environ.setdefault("FASTGEN_ALLOW_HASH_TOKENIZER", "1")
+
 # Force CPU: the session env may point JAX at a tunneled TPU (JAX_PLATFORMS=axon)
 # whose sitecustomize force-sets the jax_platforms *config* — so the env var is
 # not enough; we must update the config after import. Set FASTGEN_TEST_TPU=1 to

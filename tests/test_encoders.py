@@ -317,3 +317,24 @@ class TestWrappers:
         b, _ = tok(["the same text"])
         np.testing.assert_array_equal(a, b)
         assert m.sum() == 4  # 3 words + eos
+
+    def test_hash_tokenizer_is_opt_in(self, monkeypatch):
+        """The offline stand-in must not silently produce
+        non-pretrained-compatible embeddings (VERDICT weak #8)."""
+        import fastgen_tpu.networks.encoders.wrappers as W
+        monkeypatch.delenv("FASTGEN_ALLOW_HASH_TOKENIZER", raising=False)
+        enc = W.T5TextEncoder(vocab_size=64, d_model=16, d_kv=8, num_heads=2,
+                              d_ff=32, num_layers=1, rel_buckets=4,
+                              rel_max_distance=10, max_length=10,
+                              dtype=jnp.float32)
+        with pytest.raises(RuntimeError, match="HashTokenizer"):
+            enc.encode(["a prompt"])
+        # explicit per-encoder opt-in
+        enc2 = W.T5TextEncoder(vocab_size=64, d_model=16, d_kv=8, num_heads=2,
+                               d_ff=32, num_layers=1, rel_buckets=4,
+                               rel_max_distance=10, max_length=10,
+                               dtype=jnp.float32, allow_hash_tokenizer=True)
+        assert enc2.encode(["a prompt"]).shape == (1, 10, 16)
+        # env-var opt-in
+        monkeypatch.setenv("FASTGEN_ALLOW_HASH_TOKENIZER", "1")
+        assert enc.encode(["a prompt"]).shape == (1, 10, 16)
