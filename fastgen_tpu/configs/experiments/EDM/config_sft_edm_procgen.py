@@ -27,8 +27,12 @@ def create_config():
     config.log_config.name = "sft_edm_procgen"
     config.dataloader_train.dataset_path = f"{DATA_ROOT_DIR}/procgen-32x32.zip"
     # procgen textures are globally structured: lighter augmentation than the
-    # CIFAR recipe (rotations/flips stay label-preserving for all 10 classes)
+    # CIFAR recipe (rotations/flips stay label-preserving for all 10 classes);
+    # at p=0.06 the sym6-AA geometric warp buys nothing measurable, so use the
+    # cheap bilinear path (one full-batch microbatch keeps the MXU fed)
     config.trainer.augment_pipe.p = 0.06
+    config.trainer.augment_pipe.antialias = False
+    config.dataloader_train.batch_size = 128
     config.trainer.batch_size_global = 128
     config.trainer.max_iter = 12_000
     config.trainer.save_ckpt_iter = 2_000

@@ -166,3 +166,26 @@ def test_augment_pipe_smoke():
     out0, lab0 = pipe0.process(key, x)
     np.testing.assert_array_equal(np.asarray(out0), np.asarray(x))
     assert bool((lab0 == 0).all())
+
+
+def test_augment_warp_matmul_matches_gather():
+    """The MXU one-hot-matmul resample must match map_coordinates exactly
+    (same bilinear math, out-of-range fades to 0) on both warp paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastgen_tpu.data.augment import AugmentPipe
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.uniform(key, (3, 16, 16, 3)) * 2 - 1
+    for antialias in (False, True):
+        pm = AugmentPipe(p=1, scale=1, rotate_frac=1, translate_frac=1,
+                         antialias=antialias, warp_impl="matmul")
+        pg = AugmentPipe(p=1, scale=1, rotate_frac=1, translate_frac=1,
+                         antialias=antialias, warp_impl="gather")
+        om, lm = pm.process(key, x)
+        og, lg = pg.process(key, x)
+        np.testing.assert_array_equal(np.asarray(lm), np.asarray(lg))
+        np.testing.assert_allclose(np.asarray(om), np.asarray(og),
+                                   atol=2e-5, rtol=1e-4,
+                                   err_msg=f"antialias={antialias}")
