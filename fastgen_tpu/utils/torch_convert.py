@@ -671,10 +671,115 @@ def convert_cosmos(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params}
 
 
+def convert_ltx2(state_dict: Dict[str, np.ndarray],
+                 audio: bool = False) -> Dict[str, Any]:
+    """diffusers ``LTX2VideoTransformer3DModel`` state dict ->
+    ``LTX2VideoDiT`` params (ref vendors the same module,
+    ``LTX2/transformer_ltx2.py:791``; its FastGen wrapper drops the audio
+    keys via ``strict=False``, ``LTX2/network.py:434-445`` — pass
+    ``audio=True`` to map them onto an ``audio_enabled`` net instead).
+
+    Block norms (norm1..3, audio_*, *_to_*_norm) and the output LayerNorms
+    are affine-free in LTX2 and absent from state dicts.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.", "transformer.", "net."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = v
+
+    params: Dict[str, Any] = {}
+    used = set()
+
+    def put(path: str, v):
+        _set_nested(params, tuple(path.split(".")), np.asarray(v))
+
+    def dense(dst: str, src: str):
+        used.add(src + ".weight")
+        put(dst + ".kernel", _to_dense(sd[src + ".weight"]))
+        if src + ".bias" in sd:
+            used.add(src + ".bias")
+            put(dst + ".bias", sd[src + ".bias"])
+
+    def rms(dst: str, src: str):
+        used.add(src + ".weight")
+        put(dst + ".scale", sd[src + ".weight"])
+
+    def table(dst: str, src: str):
+        used.add(src)
+        put(dst, sd[src])
+
+    def attn(dst: str, src: str):
+        for p in ("to_q", "to_k", "to_v"):
+            dense(f"{dst}.{p}", f"{src}.{p}")
+        dense(dst + ".to_out", src + ".to_out.0")
+        rms(dst + ".norm_q", src + ".norm_q")
+        rms(dst + ".norm_k", src + ".norm_k")
+
+    def adaln(dst: str, src: str):
+        dense(dst + ".linear_1", src + ".emb.timestep_embedder.linear_1")
+        dense(dst + ".linear_2", src + ".emb.timestep_embedder.linear_2")
+        dense(dst + ".linear", src + ".linear")
+
+    dense("proj_in", "proj_in")
+    adaln("time_embed", "time_embed")
+    dense("caption_projection_0", "caption_projection.linear_1")
+    dense("caption_projection_1", "caption_projection.linear_2")
+    table("out_scale_shift_table", "scale_shift_table")
+    dense("proj_out", "proj_out")
+    if "logvar_linear.weight" in sd:
+        dense("logvar_linear", "logvar_linear")
+
+    if audio:
+        dense("audio_proj_in", "audio_proj_in")
+        adaln("audio_time_embed", "audio_time_embed")
+        dense("audio_caption_projection_0", "audio_caption_projection.linear_1")
+        dense("audio_caption_projection_1", "audio_caption_projection.linear_2")
+        adaln("av_ca_video_ss", "av_cross_attn_video_scale_shift")
+        adaln("av_ca_audio_ss", "av_cross_attn_audio_scale_shift")
+        adaln("av_ca_video_gate", "av_cross_attn_video_a2v_gate")
+        adaln("av_ca_audio_gate", "av_cross_attn_audio_v2a_gate")
+        table("audio_out_scale_shift_table", "audio_scale_shift_table")
+        dense("audio_proj_out", "audio_proj_out")
+
+    n_blocks = 1 + max(int(k.split(".")[1]) for k in sd
+                       if k.startswith("transformer_blocks."))
+    for i in range(n_blocks):
+        src = f"transformer_blocks.{i}"
+        dst = f"block_{i}"
+        attn(dst + ".attn1", src + ".attn1")
+        attn(dst + ".attn2", src + ".attn2")
+        dense(dst + ".ff_in", src + ".ff.net.0.proj")
+        dense(dst + ".ff_out", src + ".ff.net.2")
+        table(dst + ".scale_shift_table", src + ".scale_shift_table")
+        if audio:
+            attn(dst + ".audio_attn1", src + ".audio_attn1")
+            attn(dst + ".audio_attn2", src + ".audio_attn2")
+            attn(dst + ".audio_to_video_attn", src + ".audio_to_video_attn")
+            attn(dst + ".video_to_audio_attn", src + ".video_to_audio_attn")
+            dense(dst + ".audio_ff_in", src + ".audio_ff.net.0.proj")
+            dense(dst + ".audio_ff_out", src + ".audio_ff.net.2")
+            table(dst + ".audio_scale_shift_table",
+                  src + ".audio_scale_shift_table")
+            table(dst + ".video_a2v_ca_table",
+                  src + ".video_a2v_cross_attn_scale_shift_table")
+            table(dst + ".audio_a2v_ca_table",
+                  src + ".audio_a2v_cross_attn_scale_shift_table")
+
+    dropped = [k for k in sd if k not in used]
+    if dropped:
+        logger.info(f"convert_ltx2: dropped {len(dropped)} keys "
+                    f"({'audio' if not audio else 'unmapped'}: "
+                    f"{dropped[:4]}{'...' if len(dropped) > 4 else ''})")
+    return {"params": params}
+
+
 CONVERTERS = {"edm": convert_edm, "dit": convert_dit, "wan": convert_wan,
               "edm2": convert_edm2, "sd15": convert_sd_unet,
               "sdxl": convert_sd_unet, "flux": convert_flux,
-              "cogvideox": convert_cogvideox, "cosmos": convert_cosmos}
+              "cogvideox": convert_cogvideox, "cosmos": convert_cosmos,
+              "ltx2": convert_ltx2}
 
 
 def convert_checkpoint(path: str, arch: str) -> Dict[str, Any]:

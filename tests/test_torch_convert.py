@@ -611,3 +611,128 @@ class TestCosmosConverter:
         assert missing == 0
         _assert_tree_equal(conv["params"],
                            jax.tree_util.tree_map(np.asarray, params["params"]))
+
+
+class TestLTX2Converter:
+    def _attn_inv(self, sd, dst, node):
+        for p in ("to_q", "to_k", "to_v"):
+            _dense_inv(sd, f"{dst}.{p}", node[p])
+        _dense_inv(sd, dst + ".to_out.0", node["to_out"])
+        sd[dst + ".norm_q.weight"] = np.asarray(node["norm_q"]["scale"])
+        sd[dst + ".norm_k.weight"] = np.asarray(node["norm_k"]["scale"])
+
+    def _adaln_inv(self, sd, dst, node):
+        _dense_inv(sd, dst + ".emb.timestep_embedder.linear_1", node["linear_1"])
+        _dense_inv(sd, dst + ".emb.timestep_embedder.linear_2", node["linear_2"])
+        _dense_inv(sd, dst + ".linear", node["linear"])
+
+    def _ltx2_to_torch(self, p, audio=False):
+        """Inverse map: our params -> diffusers LTX2VideoTransformer3DModel
+        state-dict keys (``transformer_ltx2.py:791-1002`` module tree)."""
+        sd = {}
+        _dense_inv(sd, "proj_in", p["proj_in"])
+        self._adaln_inv(sd, "time_embed", p["time_embed"])
+        _dense_inv(sd, "caption_projection.linear_1", p["caption_projection_0"])
+        _dense_inv(sd, "caption_projection.linear_2", p["caption_projection_1"])
+        sd["scale_shift_table"] = np.asarray(p["out_scale_shift_table"])
+        _dense_inv(sd, "proj_out", p["proj_out"])
+        if "logvar_linear" in p:
+            _dense_inv(sd, "logvar_linear", p["logvar_linear"])
+        if audio:
+            _dense_inv(sd, "audio_proj_in", p["audio_proj_in"])
+            self._adaln_inv(sd, "audio_time_embed", p["audio_time_embed"])
+            _dense_inv(sd, "audio_caption_projection.linear_1",
+                       p["audio_caption_projection_0"])
+            _dense_inv(sd, "audio_caption_projection.linear_2",
+                       p["audio_caption_projection_1"])
+            self._adaln_inv(sd, "av_cross_attn_video_scale_shift",
+                            p["av_ca_video_ss"])
+            self._adaln_inv(sd, "av_cross_attn_audio_scale_shift",
+                            p["av_ca_audio_ss"])
+            self._adaln_inv(sd, "av_cross_attn_video_a2v_gate",
+                            p["av_ca_video_gate"])
+            self._adaln_inv(sd, "av_cross_attn_audio_v2a_gate",
+                            p["av_ca_audio_gate"])
+            sd["audio_scale_shift_table"] = np.asarray(
+                p["audio_out_scale_shift_table"])
+            _dense_inv(sd, "audio_proj_out", p["audio_proj_out"])
+        i = 0
+        while f"block_{i}" in p:
+            b = p[f"block_{i}"]
+            dst = f"transformer_blocks.{i}"
+            self._attn_inv(sd, dst + ".attn1", b["attn1"])
+            self._attn_inv(sd, dst + ".attn2", b["attn2"])
+            _dense_inv(sd, dst + ".ff.net.0.proj", b["ff_in"])
+            _dense_inv(sd, dst + ".ff.net.2", b["ff_out"])
+            sd[dst + ".scale_shift_table"] = np.asarray(b["scale_shift_table"])
+            if audio:
+                self._attn_inv(sd, dst + ".audio_attn1", b["audio_attn1"])
+                self._attn_inv(sd, dst + ".audio_attn2", b["audio_attn2"])
+                self._attn_inv(sd, dst + ".audio_to_video_attn",
+                               b["audio_to_video_attn"])
+                self._attn_inv(sd, dst + ".video_to_audio_attn",
+                               b["video_to_audio_attn"])
+                _dense_inv(sd, dst + ".audio_ff.net.0.proj", b["audio_ff_in"])
+                _dense_inv(sd, dst + ".audio_ff.net.2", b["audio_ff_out"])
+                sd[dst + ".audio_scale_shift_table"] = np.asarray(
+                    b["audio_scale_shift_table"])
+                sd[dst + ".video_a2v_cross_attn_scale_shift_table"] = np.asarray(
+                    b["video_a2v_ca_table"])
+                sd[dst + ".audio_a2v_cross_attn_scale_shift_table"] = np.asarray(
+                    b["audio_a2v_ca_table"])
+            i += 1
+        return sd
+
+    def test_roundtrip_video_only(self):
+        from fastgen_tpu.networks.ltx2.network import LTX2VideoDiT
+        from fastgen_tpu.utils.torch_convert import (convert_ltx2,
+                                                     verify_against_template)
+
+        net = LTX2VideoDiT(in_channels=4, out_channels=4, num_heads=2,
+                           head_dim=12, num_layers=2, caption_channels=16)
+        params = net.init({"params": KEY}, jnp.zeros((1, 3, 4, 4, 4)),
+                          jnp.ones((1,)))
+        sd = self._ltx2_to_torch(params["params"])
+        conv = convert_ltx2(sd)
+        matched, missing = verify_against_template(conv, params, strict=True)
+        assert missing == 0
+        _assert_tree_equal(conv["params"],
+                           jax.tree_util.tree_map(np.asarray, params["params"]))
+
+    def test_roundtrip_audio_video(self):
+        from fastgen_tpu.networks.ltx2.network import LTX2VideoDiT
+        from fastgen_tpu.utils.torch_convert import (convert_ltx2,
+                                                     verify_against_template)
+
+        net = LTX2VideoDiT(in_channels=4, out_channels=4, num_heads=2,
+                           head_dim=12, num_layers=2, caption_channels=16,
+                           audio_enabled=True, audio_in_channels=6,
+                           audio_out_channels=6, audio_num_heads=2,
+                           audio_head_dim=6)
+        params = net.init({"params": KEY}, jnp.zeros((1, 3, 4, 4, 4)),
+                          jnp.ones((1,)),
+                          audio_latents=jnp.zeros((1, 5, 6)))
+        sd = self._ltx2_to_torch(params["params"], audio=True)
+        conv = convert_ltx2(sd, audio=True)
+        matched, missing = verify_against_template(conv, params, strict=True)
+        assert missing == 0
+        _assert_tree_equal(conv["params"],
+                           jax.tree_util.tree_map(np.asarray, params["params"]))
+
+    def test_audio_keys_dropped_for_video_only(self):
+        """Video-only conversion drops audio keys like the reference's
+        strict=False load (``LTX2/network.py:434-445``)."""
+        from fastgen_tpu.networks.ltx2.network import LTX2VideoDiT
+        from fastgen_tpu.utils.torch_convert import convert_ltx2
+
+        av = LTX2VideoDiT(in_channels=4, out_channels=4, num_heads=2,
+                          head_dim=12, num_layers=1, caption_channels=16,
+                          audio_enabled=True, audio_in_channels=6,
+                          audio_out_channels=6, audio_num_heads=2,
+                          audio_head_dim=6)
+        params = av.init({"params": KEY}, jnp.zeros((1, 3, 4, 4, 4)),
+                         jnp.ones((1,)), audio_latents=jnp.zeros((1, 5, 6)))
+        sd = self._ltx2_to_torch(params["params"], audio=True)
+        conv = convert_ltx2(sd)  # video-only target
+        assert "audio_proj_in" not in conv["params"]
+        assert "audio_attn1" not in conv["params"].get("block_0", {})
