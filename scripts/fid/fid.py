@@ -65,18 +65,31 @@ class FlaxInceptionDetector:
             InceptionV3, convert_inception, preprocess_uint8)
 
         path = path or os.environ.get("FID_INCEPTION_PATH")
-        if not path or not os.path.exists(path):
+        net = InceptionV3()
+        if path and path.startswith("random:"):
+            # fixed-seed randomly-initialized InceptionV3: a zero-egress FID
+            # proxy ("FID-RandNet") — random deep-CNN features rank
+            # distributions far better than a pixel projection while staying
+            # fully deterministic; stats are only comparable at equal seeds
+            import jax.numpy as jnp
+
+            seed = int(path.split(":", 1)[1] or 0)
+            self.variables = net.init(jax.random.PRNGKey(seed),
+                                      jnp.zeros((1, 299, 299, 3)))
+        elif not path or not os.path.exists(path):
             raise FileNotFoundError(
                 "InceptionV3 weights not found; set FID_INCEPTION_PATH or "
-                "pass --detector_path (zero-egress env cannot download them)")
-        import torch
+                "pass --detector_path (zero-egress env cannot download them; "
+                "use --detector_path=random:<seed> for the deterministic "
+                "random-feature proxy)")
+        else:
+            import torch
 
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-        state_dict = obj.state_dict() if hasattr(obj, "state_dict") else obj
-        state_dict = {k: v.numpy() if hasattr(v, "numpy") else v
-                      for k, v in state_dict.items()}
-        self.variables = convert_inception(state_dict)
-        net = InceptionV3()
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+            state_dict = obj.state_dict() if hasattr(obj, "state_dict") else obj
+            state_dict = {k: v.numpy() if hasattr(v, "numpy") else v
+                          for k, v in state_dict.items()}
+            self.variables = convert_inception(state_dict)
         self._batch = batch_size
         self._fwd = jax.jit(lambda imgs: net.apply(
             self.variables, preprocess_uint8(imgs))[0])

@@ -228,3 +228,22 @@ def test_flax_detector_end_to_end(torch_net, tmp_path):
     mu, sigma = calculate_inception_stats(iter([imgs]), det)
     assert mu.shape == (2048,) and sigma.shape == (2048, 2048)
     assert np.isfinite(mu).all() and np.isfinite(sigma).all()
+
+
+def test_random_seed_detector_deterministic():
+    """`--detector_path=random:<seed>`: the zero-egress random-feature FID
+    proxy must be deterministic per seed and seed-sensitive."""
+    from scripts.fid.fid import FlaxInceptionDetector
+
+    imgs = (np.random.RandomState(0).rand(3, 32, 32, 3) * 255).astype(np.uint8)
+    d0 = FlaxInceptionDetector("random:0", batch_size=2)
+    f0 = d0(imgs)
+    assert f0.shape == (3, 2048) and np.isfinite(f0).all()
+    # bitwise deterministic at a fixed batch size; different batch sizes
+    # compile different XLA fusions -> only numerically equal
+    np.testing.assert_array_equal(f0, FlaxInceptionDetector("random:0",
+                                                            batch_size=2)(imgs))
+    np.testing.assert_allclose(
+        f0, FlaxInceptionDetector("random:0", batch_size=3)(imgs),
+        atol=1e-4, rtol=1e-3)
+    assert np.abs(f0 - FlaxInceptionDetector("random:1")(imgs)).max() > 1e-3
