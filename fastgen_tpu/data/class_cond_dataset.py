@@ -28,6 +28,9 @@ class ImageFolderDataset:
         self._cache = cache
         self._cached_images = {}
         self._zip = None
+        self._native = None          # lazy C++ reader (False = disabled)
+        self._native_idx = {}
+        self._raw_shape = None
 
         if not os.path.isfile(path):
             raise FileNotFoundError(f"Dataset zip not found: {path}")
@@ -75,8 +78,37 @@ class ImageFolderDataset:
         arr = np.array([table[fname.replace("\\", "/")] for fname in self._image_fnames])
         return arr.astype(np.int64)
 
+    def _native_reader(self):
+        """C++ zip/PNG decode core (``fastgen_tpu/native``) — the counterpart
+        of the reference riding torch's C++ DataLoader workers. Lazily opened;
+        any unavailability (no g++/zlib, exotic PNGs) falls back to PIL."""
+        if self._native is False:
+            return None
+        if self._native is None:
+            try:
+                from fastgen_tpu import native
+
+                if not native.available():
+                    raise RuntimeError("native core unavailable")
+                reader = native.NativeZipReader(self._path)
+                names = reader.names()
+                self._native_idx = {n: i for i, n in enumerate(names)}
+                self._native = reader
+            except Exception as e:  # noqa: BLE001 - PIL fallback
+                logger.info(f"native zip reader disabled ({e})")
+                self._native = False
+                return None
+        return self._native
+
     def _load_raw_image(self, raw_idx: int) -> np.ndarray:
         fname = self._image_fnames[raw_idx]
+        reader = self._native_reader()
+        if reader is not None and fname.lower().endswith(".png") \
+                and self._raw_shape is not None and self._raw_shape[3] == 3:
+            img = reader.decode_png_rgb(self._native_idx[fname],
+                                        self._raw_shape[1], self._raw_shape[2])
+            if img is not None:
+                return img
         data = self._zipfile().read(fname)
         img = np.asarray(PIL.Image.open(io.BytesIO(data)))
         if img.ndim == 2:
@@ -118,6 +150,7 @@ class ImageFolderDataset:
     def __getstate__(self):
         state = dict(self.__dict__)
         state["_zip"] = None  # zip handles don't pickle
+        state["_native"] = None  # C++ FILE* handle doesn't pickle either
         return state
 
 

@@ -44,8 +44,11 @@ PRESETS = {
 
 
 def decode_member(name: str, data: bytes) -> Any:
-    """Decode one tar member by extension (ref ``decoders.py``)."""
+    """Decode one tar member by extension (ref ``decoders.py``). Dispatch is
+    on the FINAL suffix so multi-dot member names ("x.latent.npy") decode by
+    their container format while key_map still addresses the full extension."""
     ext = name.split(".", 1)[1] if "." in name else ""
+    ext = ext.rsplit(".", 1)[-1]
     if ext in ("jpg", "jpeg", "png", "webp"):
         return PIL.Image.open(io.BytesIO(data))
     if ext in ("txt", "text"):
