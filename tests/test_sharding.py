@@ -132,3 +132,72 @@ def test_checkpoint_roundtrip_across_topologies(model_state, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state0.params["net"]),
                     jax.tree_util.tree_leaves(restored.params["net"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_hsdp_replicates_within_dp_groups(model_state):
+    """HSDP: params shard over the fsdp axis only — every dp replica holds an
+    identical 1/fsdp shard (ref 2-D replicate x shard device mesh,
+    ``utils/distributed/fsdp.py:104-113``)."""
+    config, model, state0 = model_state
+    mesh = mesh_lib.build_mesh(dp=2, fsdp=4)
+    state = jax.tree_util.tree_map(jnp.copy, state0)
+    state, _ = mesh_lib.shard_state(state, mesh, fsdp=True)
+    leaves = [l for l in jax.tree_util.tree_leaves(state.params["net"])
+              if hasattr(l, "sharding") and l.sharding.spec != P()]
+    assert leaves
+    leaf = max(leaves, key=lambda l: l.size)
+    # sharded over 4, replicated over 2 -> 8 addressable shards of size/4
+    assert leaf.addressable_shards[0].data.size == leaf.size // 4
+    by_data = {}
+    for sh in leaf.addressable_shards:
+        by_data.setdefault(sh.index, []).append(np.asarray(sh.data))
+    for idx, datas in by_data.items():
+        assert len(datas) == 2  # one per dp replica
+        np.testing.assert_array_equal(datas[0], datas[1])
+
+
+def test_student_phase_sharded_parity(model_state):
+    """The DMD2 student phase (VSD + GAN-gen losses, EMA lerp in-step) also
+    matches single-device under the (2,4) mesh — including the EMA tree."""
+    config, model, state0 = model_state
+    batch = make_batch()
+    step = model.make_train_step("student")
+
+    single = jax.jit(step)(state0, batch, KEY)
+    base_loss = float(single[1]["total_loss"])
+
+    mesh = mesh_lib.build_mesh(dp=2, fsdp=4)
+    state = jax.tree_util.tree_map(jnp.copy, state0)
+    state, _ = mesh_lib.shard_state(state, mesh, fsdp=True)
+    out = jax.jit(step, donate_argnums=0)(state, mesh_lib.shard_batch(batch, mesh),
+                                          KEY)
+    assert abs(float(out[1]["total_loss"]) - base_loss) / max(abs(base_loss),
+                                                              1e-6) < 1e-4
+    # the sharded in-step EMA lerp (the reference gathers full tensors per
+    # step instead, ``callbacks/ema.py:119-130``) must produce the same EMA
+    ema_a = jax.tree_util.tree_leaves(single[0].ema)
+    ema_b = jax.tree_util.tree_leaves(out[0].ema)
+    assert ema_a and len(ema_a) == len(ema_b)
+    for a, b in zip(ema_a, ema_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_generator_fn_sharded_parity(model_state):
+    """Few-step sampling under the mesh == single-device sampling (the
+    validation/FID path, ref ``test_fsdp.py`` forward-parity tier)."""
+    config, model, state0 = model_state
+    noise = jax.random.normal(KEY, (8, 16, 16, 3))
+    cond = jax.nn.one_hot(jnp.arange(8) % 10, 10)
+    base = model.generator_fn(state0.params["net"], noise, rng=KEY,
+                              condition=cond)
+
+    mesh = mesh_lib.build_mesh(dp=2, fsdp=4)
+    state = jax.tree_util.tree_map(jnp.copy, state0)
+    state, _ = mesh_lib.shard_state(state, mesh, fsdp=True)
+    out = model.generator_fn(state.params["net"],
+                             mesh_lib.shard_batch({"x": noise}, mesh)["x"],
+                             rng=KEY,
+                             condition=mesh_lib.shard_batch({"c": cond}, mesh)["c"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=2e-4,
+                               atol=2e-4)
