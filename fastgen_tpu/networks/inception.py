@@ -25,6 +25,51 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+_CALIBRATING = False
+
+
+class _calibration:
+    """While active, every BasicConv2d normalizes with the *current batch's*
+    statistics and sows them into the ``calib`` collection — used to give a
+    randomly-initialized detector healthy activation scales at depth (random
+    deep CNNs otherwise collapse to near-constant features). Run eagerly:
+
+        with _calibration():
+            _, aux = net.apply(vars, imgs, mutable=["calib"])
+        vars = apply_calibration(vars, aux["calib"])
+    """
+
+    def __enter__(self):
+        global _CALIBRATING
+        _CALIBRATING = True
+
+    def __exit__(self, *a):
+        global _CALIBRATING
+        _CALIBRATING = False
+
+
+def apply_calibration(variables: Dict[str, Any], calib: Dict[str, Any]
+                      ) -> Dict[str, Any]:
+    """Write sowed per-layer batch stats into the bn_mean/bn_var params."""
+    import flax
+
+    params = flax.core.unfreeze(variables)["params"]
+
+    def walk(p_node, c_node):
+        for k, v in c_node.items():
+            if k == "calib_stats":
+                if isinstance(v, tuple) and len(v) == 1:
+                    v = v[0]
+                m, var = v
+                p_node["bn_mean"] = np.asarray(m)
+                p_node["bn_var"] = np.asarray(var)
+            else:
+                walk(p_node[k], v)
+
+    walk(params, calib)
+    return {"params": params}
+
+
 class BasicConv2d(nn.Module):
     """Conv (no bias) + BatchNorm(eps=1e-3, running stats) + ReLU."""
 
@@ -41,6 +86,11 @@ class BasicConv2d(nn.Module):
         bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
         mean = self.param("bn_mean", nn.initializers.zeros, (self.features,))
         var = self.param("bn_var", nn.initializers.ones, (self.features,))
+        if _CALIBRATING:
+            mean = jnp.mean(x, axis=(0, 1, 2))
+            var = jnp.var(x, axis=(0, 1, 2))
+            self.sow("calib", "calib_stats", (mean, var),
+                     init_fn=lambda: None, reduce_fn=lambda _, b: b)
         x = (x - mean) * jax.lax.rsqrt(var + 1e-3) * scale + bias
         return nn.relu(x)
 

@@ -70,12 +70,27 @@ class FlaxInceptionDetector:
             # fixed-seed randomly-initialized InceptionV3: a zero-egress FID
             # proxy ("FID-RandNet") — random deep-CNN features rank
             # distributions far better than a pixel projection while staying
-            # fully deterministic; stats are only comparable at equal seeds
+            # fully deterministic; stats are only comparable at equal seeds.
+            # BN stats are calibrated on seeded noise images: without this,
+            # 90+ random conv layers collapse activations to near-constants
+            # and every distribution scores FID ~0.
             import jax.numpy as jnp
 
+            from fastgen_tpu.networks.inception import (_calibration,
+                                                        apply_calibration)
+
             seed = int(path.split(":", 1)[1] or 0)
-            self.variables = net.init(jax.random.PRNGKey(seed),
-                                      jnp.zeros((1, 299, 299, 3)))
+            key = jax.random.PRNGKey(seed)
+            variables = net.init(key, jnp.zeros((1, 299, 299, 3)))
+            calib_imgs = jax.random.uniform(
+                jax.random.fold_in(key, 1), (32, 299, 299, 3),
+                minval=-1.0, maxval=1.0)
+            with _calibration():
+                (feats, _), aux = net.apply(variables, calib_imgs,
+                                            mutable=["calib"])
+            self.variables = apply_calibration(variables, aux["calib"])
+            # unit-scale the feature space so FID magnitudes are O(1..100)
+            self._feat_scale = float(np.asarray(feats).std()) or 1.0
         elif not path or not os.path.exists(path):
             raise FileNotFoundError(
                 "InceptionV3 weights not found; set FID_INCEPTION_PATH or "
@@ -91,8 +106,9 @@ class FlaxInceptionDetector:
                           for k, v in state_dict.items()}
             self.variables = convert_inception(state_dict)
         self._batch = batch_size
+        scale = getattr(self, "_feat_scale", 1.0)
         self._fwd = jax.jit(lambda imgs: net.apply(
-            self.variables, preprocess_uint8(imgs))[0])
+            self.variables, preprocess_uint8(imgs))[0] / scale)
 
     def __call__(self, images_uint8: np.ndarray) -> np.ndarray:
         feats = []

@@ -247,3 +247,27 @@ def test_random_seed_detector_deterministic():
         f0, FlaxInceptionDetector("random:0", batch_size=3)(imgs),
         atol=1e-4, rtol=1e-3)
     assert np.abs(f0 - FlaxInceptionDetector("random:1")(imgs)).max() > 1e-3
+
+
+def test_random_detector_separates_distributions():
+    """BN-calibrated FID-RandNet must give structured-vs-noise image sets a
+    far larger FID than two halves of the same set (regression: uncalibrated
+    random deep CNNs collapse to near-constant features and FID ~0)."""
+    from scripts.fid.fid import (FlaxInceptionDetector,
+                                 calculate_fid_from_inception_stats,
+                                 calculate_inception_stats)
+
+    det = FlaxInceptionDetector("random:0", batch_size=16)
+    rs = np.random.RandomState(0)
+    imgs = np.zeros((48, 32, 32, 3), np.uint8)
+    for i in range(48):
+        x0, y0 = rs.randint(0, 24, 2)
+        imgs[i, y0:y0 + 8, x0:x0 + 8] = rs.randint(100, 255, 3, dtype=np.uint8)
+    noise = rs.randint(0, 256, (48, 32, 32, 3), dtype=np.uint8)
+    assert det(imgs).std() > 1e-3  # calibrated features have healthy scale
+    mu1, s1 = calculate_inception_stats(iter([imgs[:24]]), det)
+    mu2, s2 = calculate_inception_stats(iter([imgs[24:]]), det)
+    mu3, s3 = calculate_inception_stats(iter([noise]), det)
+    same = calculate_fid_from_inception_stats(mu1, s1, mu2, s2)
+    diff = calculate_fid_from_inception_stats(mu1, s1, mu3, s3)
+    assert diff > 10 * max(same, 1e-6)
