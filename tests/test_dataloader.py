@@ -282,3 +282,269 @@ class TestResumeInvariants:
         # no duplicate samples within the resumed window
         flat = [c for b in stream for c in b]
         assert len(set(flat)) == len(flat)
+
+
+@pytest.fixture(scope="module")
+def rich_shards(tmp_path_factory):
+    """Shards with jpg+txt+cls+json members, one sample per shard missing its
+    txt (partial sample), mirroring the reference's filtering fixtures
+    (ref ``test_dataloader.py:912-1010``)."""
+    d = tmp_path_factory.mktemp("richwds")
+    rs = np.random.RandomState(1)
+
+    def add(tf, name, payload: bytes):
+        info = tarfile.TarInfo(name)
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+
+    for shard in range(2):
+        with tarfile.open(d / f"shard-{shard:04d}.tar", "w") as tf:
+            for i in range(5):
+                key = f"r{shard}_{i:04d}"
+                img = PIL.Image.fromarray(rs.randint(0, 255, (8, 8, 3), np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                add(tf, f"{key}.jpg", buf.getvalue())
+                if i != 2:  # sample index 2 in each shard is partial (no txt)
+                    add(tf, f"{key}.txt", f"cap {shard}:{i}".encode())
+                add(tf, f"{key}.cls", str(i % 2).encode())
+                add(tf, f"{key}.json", json.dumps({"aesthetic": i}).encode())
+    return str(d)
+
+
+class TestWDSFiltering:
+    """key_map/presets_filter/ignore_index filtering invariants
+    (ref ``test_dataloader.py:912-1010``)."""
+
+    KW = dict(batch_size=1, shuffle=False, prefetch=0)
+
+    def _keys(self, loader, n):
+        it = iter(loader)
+        return [next(it)["condition"][0] for _ in range(n)]
+
+    def test_partial_samples_skipped(self, rich_shards):
+        """Samples missing a key_map member are skipped, not crashed on."""
+        loader = WDSLoader([f"WDS:{rich_shards}"],
+                           key_map={"real": "jpg", "condition": "txt"},
+                           input_res=8, **self.KW)
+        caps = self._keys(loader, 8)  # one full epoch = 8 complete samples
+        assert len(caps) == 8 and "cap 0:2" not in caps and "cap 1:2" not in caps
+
+    def test_missing_key_optional_when_unmapped(self, rich_shards):
+        """A member absent from key_map is irrelevant: mapping only jpg keeps
+        all 10 samples including the partial ones."""
+        loader = WDSLoader([f"WDS:{rich_shards}"], key_map={"real": "jpg"},
+                           input_res=8, **self.KW)
+        it = iter(loader)
+        seen = [next(it)["real"].shape for _ in range(10)]
+        assert len(seen) == 10
+
+    def test_ignore_index(self, rich_shards):
+        loader = WDSLoader([f"WDS:{rich_shards}"],
+                           key_map={"condition": "txt"},
+                           ignore_index=["r0_0000", "r1_0001"], **self.KW)
+        caps = self._keys(loader, 6)
+        assert "cap 0:0" not in caps and "cap 1:1" not in caps
+
+    def test_presets_filter(self, rich_shards):
+        """presets_filter keeps only samples whose member equals the wanted
+        value (here: cls == 0 keeps indices 0,2,4 per shard; 2 is partial)."""
+        loader = WDSLoader([f"WDS:{rich_shards}"],
+                           key_map={"condition": "txt"},
+                           presets_filter={"cls": 0}, **self.KW)
+        caps = self._keys(loader, 4)
+        assert set(caps) == {"cap 0:0", "cap 0:4", "cap 1:0", "cap 1:4"}
+
+    def test_files_map_injection(self, rich_shards, tmp_path):
+        """files_map loads a host-side npy once and injects it per sample."""
+        emb = np.arange(6, dtype=np.float32).reshape(2, 3)
+        path = tmp_path / "fixed_emb.npy"
+        np.save(path, emb)
+        loader = WDSLoader([f"WDS:{rich_shards}"],
+                           key_map={"condition": "txt"},
+                           files_map={"neg_condition": str(path)},
+                           batch_size=2, shuffle=False, prefetch=0)
+        b = next(iter(loader))
+        assert b["neg_condition"].shape == (2, 2, 3)
+        np.testing.assert_array_equal(b["neg_condition"][0], emb)
+
+    def test_presets_map_passthrough(self, rich_shards):
+        """Unknown preset names pass through as literal strings."""
+        loader = WDSLoader([f"WDS:{rich_shards}"],
+                           key_map={"condition": "txt"},
+                           presets_map={"neg_condition": "a literal prompt",
+                                        "empty": "empty_string"},
+                           **self.KW)
+        b = next(iter(loader))
+        assert b["neg_condition"] == ["a literal prompt"]
+        assert b["empty"] == [""]
+
+    def test_collate_batch_types(self, rich_shards):
+        """Collate types: ndarray members stack, strings/ints stay lists
+        (ref ``test_deterministic_batch_types``)."""
+        loader = WDSLoader([f"WDS:{rich_shards}"],
+                           key_map={"real": "jpg", "condition": "txt",
+                                    "label": "cls", "meta": "json"},
+                           input_res=8, batch_size=4, shuffle=False, prefetch=0)
+        b = next(iter(loader))
+        assert isinstance(b["real"], np.ndarray) and b["real"].shape == (4, 8, 8, 3)
+        assert isinstance(b["condition"], list) and isinstance(b["condition"][0], str)
+        assert isinstance(b["label"], list) and isinstance(b["label"][0], int)
+        assert isinstance(b["meta"], list) and b["meta"][0] == {"aesthetic": 0}
+
+
+class TestNodeSplitting:
+    """Multi-process sharding invariants, run in-process by forcing rank/world
+    (the reference spawns real ranks; the loader only reads the two ints)."""
+
+    def _ranked(self, cls, rank, world, **kw):
+        loader = cls(**kw)
+        loader.rank, loader.world = rank, world
+        return loader
+
+    def test_shard_split_disjoint_union(self, wds_shards):
+        kw = dict(datatags=[f"WDS:{wds_shards}"], key_map={"condition": "txt"},
+                  batch_size=1, shuffle=False, prefetch=0)
+        per_rank = []
+        for r in range(2):
+            loader = self._ranked(WDSLoader, r, 2, **kw)
+            assert loader._shard_order(0) == loader.shards[r::2]
+            it = iter(loader)
+            per_rank.append({next(it)["condition"][0] for _ in range(6)})
+        assert not (per_rank[0] & per_rank[1])
+        assert len(per_rank[0] | per_rank[1]) == 12
+
+    def test_deterministic_world_strided_tiling(self, wds_shards):
+        """DeterministicWDS world-striding: rank r takes global samples
+        r, r+world, ... so one epoch across ranks tiles every sample exactly
+        once (the invariant the trainer's sampler_start_idx math relies on)."""
+        kw = dict(datatags=[f"WDS:{wds_shards}"], key_map={"condition": "txt"},
+                  batch_size=3, seed=11, prefetch=0)
+        streams = []
+        for r in range(2):
+            it = iter(self._ranked(DeterministicWDS, r, 2, **kw))
+            streams.append([c for _ in range(2) for c in next(it)["condition"]])
+        assert not (set(streams[0]) & set(streams[1]))
+        assert len(set(streams[0]) | set(streams[1])) == 12
+        # global order interleaves rank streams sample-by-sample
+        fresh = iter(DeterministicWDS(**kw))
+        global_order = [c for _ in range(4) for c in next(fresh)["condition"]]
+        assert global_order[0::2] == streams[0]
+        assert global_order[1::2] == streams[1]
+
+    def test_deterministic_resume_matches_world_math(self, wds_shards):
+        """Resume with start_idx = iters*batch*world reproduces each rank's
+        continuation exactly (trainer.py sampler_start_idx contract)."""
+        kw = dict(datatags=[f"WDS:{wds_shards}"], key_map={"condition": "txt"},
+                  batch_size=2, seed=4, prefetch=0)
+        for r in range(2):
+            full = iter(self._ranked(DeterministicWDS, r, 2, **kw))
+            stream = [tuple(next(full)["condition"]) for _ in range(4)]
+            resumed = iter(self._ranked(DeterministicWDS, r, 2,
+                                        sampler_start_idx=2 * 2 * 2, **kw))
+            tail = [tuple(next(resumed)["condition"]) for _ in range(2)]
+            assert tail == stream[2:4]
+
+
+class TestDeterministicFiltering:
+    """DeterministicWDS × ignore_index (ref ``test_deterministic_with_
+    ignore_index`` / ``test_deterministic_resume_with_ignore_index``)."""
+
+    def test_ignored_never_yielded(self, wds_shards):
+        loader = DeterministicWDS([f"WDS:{wds_shards}"], batch_size=1, seed=0,
+                                  key_map={"condition": "txt"}, prefetch=0,
+                                  ignore_index=["s0_0001", "s1_0003"])
+        it = iter(loader)
+        caps = [next(it)["condition"][0] for _ in range(10)]  # one epoch
+        assert "caption 1" not in caps and "caption 9" not in caps
+        assert len(set(caps)) == 10
+
+    def test_resume_with_ignore_is_contiguous_suffix(self, wds_shards):
+        kw = dict(datatags=[f"WDS:{wds_shards}"], batch_size=1, seed=0,
+                  key_map={"condition": "txt"}, prefetch=0,
+                  ignore_index=["s0_0001", "s1_0003"])
+        fresh = iter(DeterministicWDS(**kw))
+        stream = [next(fresh)["condition"][0] for _ in range(20)]
+        resumed = iter(DeterministicWDS(sampler_start_idx=5, **kw))
+        tail = [next(resumed)["condition"][0] for _ in range(6)]
+        pos = stream.index(tail[0])
+        assert stream[pos:pos + 6] == tail
+
+    def test_data_integrity_across_resume(self, wds_shards):
+        """Resumed pixel data is bit-exact, not merely same keys
+        (ref ``test_deterministic_data_integrity``)."""
+        kw = dict(datatags=[f"WDS:{wds_shards}"], batch_size=2, seed=8,
+                  key_map={"real": "jpg"}, input_res=16, prefetch=0)
+        fresh = iter(DeterministicWDS(**kw))
+        imgs = [next(fresh)["real"] for _ in range(4)]
+        resumed = iter(DeterministicWDS(sampler_start_idx=4, **kw))
+        for want in imgs[2:]:
+            np.testing.assert_array_equal(next(resumed)["real"], want)
+
+
+class TestDecoders:
+    """decode_member extension dispatch incl. multi-dot member names
+    (ref ``decoders.py``)."""
+
+    def test_scalar_and_structured_members(self):
+        from fastgen_tpu.data.wds import decode_member
+
+        assert decode_member("a.cls", b"7") == 7
+        assert decode_member("a.json", b'{"x": 1}') == {"x": 1}
+        assert decode_member("a.txt", "héllo".encode()) == "héllo"
+
+    def test_npy_and_npz(self):
+        from fastgen_tpu.data.wds import decode_member
+
+        arr = np.arange(4, dtype=np.int32)
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        np.testing.assert_array_equal(decode_member("a.npy", buf.getvalue()), arr)
+        buf = io.BytesIO()
+        np.savez(buf, x=arr)
+        out = decode_member("a.npz", buf.getvalue())
+        np.testing.assert_array_equal(out["x"], arr)
+
+    def test_multidot_name_decodes_by_final_suffix(self):
+        from fastgen_tpu.data.wds import decode_member
+
+        arr = np.ones((2, 2), np.float32)
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        np.testing.assert_array_equal(
+            decode_member("a.latent.npy", buf.getvalue()), arr)
+
+    def test_unknown_extension_passes_bytes(self):
+        from fastgen_tpu.data.wds import decode_member
+
+        assert decode_member("a.bin", b"\x00\x01") == b"\x00\x01"
+
+
+class TestVideoWDS:
+    def test_sequence_length_truncation(self, tmp_path):
+        from fastgen_tpu.data.wds import VideoWDSLoader
+
+        rs = np.random.RandomState(0)
+        with tarfile.open(tmp_path / "v-0000.tar", "w") as tf:
+            for i in range(3):
+                buf = io.BytesIO()
+                np.save(buf, rs.randn(9, 4, 4, 3).astype(np.float32))
+                info = tarfile.TarInfo(f"v{i:04d}.npy")
+                info.size = len(buf.getvalue())
+                tf.addfile(info, io.BytesIO(buf.getvalue()))
+                cap = f"video {i}".encode()
+                info = tarfile.TarInfo(f"v{i:04d}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+        loader = VideoWDSLoader([f"WDS:{tmp_path}"], sequence_length=5,
+                                batch_size=2, shuffle=False, prefetch=0)
+        b = next(iter(loader))
+        assert b["real"].shape == (2, 5, 4, 4, 3)
+
+    def test_mp4_requires_av(self, wds_shards):
+        from fastgen_tpu.data.wds import VideoWDSLoader
+
+        loader = VideoWDSLoader([f"WDS:{wds_shards}"], batch_size=1,
+                                key_map={"real": "mp4"}, prefetch=0)
+        with pytest.raises(NotImplementedError):
+            next(iter(loader))
