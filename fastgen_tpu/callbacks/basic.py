@@ -312,12 +312,26 @@ class ParamCountCallback(Callback):
 
 
 class GradClipCallback(Callback):
-    """Parity shim: clipping is an optax transform in the optimizer chain;
-    this callback only logs the grad norm already present in loss_map."""
+    """Grad sanitize (NaN->0, ±Inf->posinf/neginf) + global-norm clip for one
+    net key (ref ``callbacks/grad_clip.py:118-219``). The actual pass is an
+    optax transform composed into that net's optimizer chain inside the
+    jitted step (``methods/base.py _finalize_optimizers``); the trainer reads
+    this callback's spec to wire it. Accepts both the reference's ``grad_norm``
+    and the legacy ``clip_norm`` parameter names."""
 
-    def __init__(self, config=None, trainer=None, clip_norm: float = 10.0, **kwargs):
+    def __init__(self, config=None, trainer=None, clip_norm: Optional[float] = None,
+                 grad_norm: Optional[float] = None, model_key: str = "net",
+                 posinf: Optional[float] = None, neginf: Optional[float] = None,
+                 **kwargs):
         super().__init__(config, trainer)
-        self.clip_norm = clip_norm
+        self.clip_norm = grad_norm if grad_norm is not None else clip_norm
+        self.model_key = model_key
+        self.posinf = posinf
+        self.neginf = neginf
+
+    def clip_spec(self) -> dict:
+        return {"norm": self.clip_norm, "posinf": self.posinf,
+                "neginf": self.neginf}
 
 
 class EMACallback(Callback):

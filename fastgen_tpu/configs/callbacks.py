@@ -15,7 +15,8 @@ from fastgen_tpu.callbacks.basic import (
 )
 
 WANDB_CALLBACK = {"wandb": L(WandbCallback)()}
-GradClip_CALLBACK = {"grad_clip": L(GradClipCallback)(clip_norm=10.0)}
+GradClip_CALLBACK = {"grad_clip": L(GradClipCallback)(grad_norm=10.0,
+                                                      model_key="net")}
 GPUStats_CALLBACK = {"device_stats": L(DeviceStatsCallback)()}
 MemTracker_CALLBACK = {"mem_tracker": L(MemTrackerCallback)()}
 TrainProfiler_CALLBACK = {"train_profiler": L(TrainProfilerCallback)()}

@@ -6,6 +6,7 @@ import copy
 
 import attrs
 
+from fastgen_tpu.callbacks.basic import GradClipCallback
 from fastgen_tpu.configs.callbacks import DEFAULT_CALLBACKS
 from fastgen_tpu.configs.config import BaseConfig, BaseModelConfig
 from fastgen_tpu.configs.config import SampleTConfig as BaseSampleTConfig
@@ -70,6 +71,11 @@ class Config(BaseConfig):
 def create_config() -> Config:
     config = Config()
     config.trainer.callbacks = dict(DEFAULT_CALLBACKS)
+    # CM-family recipes effectively disable the clip (ref config_cm.py:95,
+    # config_scm.py:104, config_mean_flow.py:135: grad_norm = 1e6); inherited
+    # by sCM/TCM/MeanFlow configs built on top of this one
+    config.trainer.callbacks["grad_clip"] = L(GradClipCallback)(
+        grad_norm=1e6, model_key="net")
     config.dataloader_train = copy.deepcopy(CIFAR10_Loader_Config)
     config.model.sample_t_cfg.time_dist_type = "lognormal"
     config.model.sample_t_cfg.train_p_mean = -1.1

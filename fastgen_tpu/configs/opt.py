@@ -172,6 +172,28 @@ def make_optimizer(opt_cfg, sched_cfg=None) -> optax.GradientTransformation:
     return spec.build(sched.schedule if sched is not None else None)
 
 
+def grad_sanitize_and_clip(max_norm: Optional[float], posinf: Optional[float] = None,
+                           neginf: Optional[float] = None) -> optax.GradientTransformation:
+    """TPU-native twin of the reference ``GradClipCallback`` grad pass
+    (``callbacks/grad_clip.py:133-219``): per-leaf ``nan_to_num`` (NaN -> 0,
+    ±Inf -> posinf/neginf, defaulting to the dtype extremes like torch), then
+    a global-norm clip. Composes *in front of* the optimizer transform inside
+    the jitted apply step — the same seam the reference's
+    ``on_optimizer_step_begin`` hook sits at, with no host round-trip."""
+
+    def sanitize(updates, state, params=None):
+        del params
+        updates = jax.tree_util.tree_map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=posinf, neginf=neginf),
+            updates)
+        return updates, state
+
+    tx = optax.GradientTransformation(lambda params: optax.EmptyState(), sanitize)
+    if max_norm is not None:
+        tx = optax.chain(tx, optax.clip_by_global_norm(max_norm))
+    return tx
+
+
 BaseOptimizerConfig = L(get_optimizer)(
     model=None, optim_type="adamw", lr=1e-4, weight_decay=0.01,
     betas=(0.9, 0.999), eps=1e-8, fused=False)

@@ -124,6 +124,10 @@ class FastGenModel:
         self.input_shape = tuple(config.input_shape)
         self.nets: Dict[str, Any] = {}       # linen modules per key
         self.txs: Dict[str, optax.GradientTransformation] = {}
+        # net key -> grad-clip spec dict (norm/posinf/neginf); populated by the
+        # trainer from the GradClipCallback config before optimizers are built
+        self.grad_clip: Dict[str, Dict[str, Any]] = {}
+        self._grad_clip_wrapped = False
         self.build_model()
         self._register_param_postprocessors()
         self._build_encoders()
@@ -251,10 +255,29 @@ class FastGenModel:
         rest = sorted(k for k in self.nets if k not in preferred)
         return tuple(preferred + rest)
 
+    def _finalize_optimizers(self):
+        """Compose the grad sanitize+clip pass (ref ``GradClipCallback``) in
+        front of each configured net's transform. Must run before any
+        ``tx.init`` so the chain's state layout is final."""
+        if self._grad_clip_wrapped:
+            return
+        self._grad_clip_wrapped = True
+        from fastgen_tpu.configs.opt import grad_sanitize_and_clip
+
+        for key, spec in self.grad_clip.items():
+            if key in self.txs:
+                self.txs[key] = optax.chain(
+                    grad_sanitize_and_clip(spec.get("norm"), spec.get("posinf"),
+                                           spec.get("neginf")),
+                    self.txs[key])
+            else:
+                logger.warning(f"grad_clip configured for unknown net {key!r}")
+
     def init_state(self, rng) -> MethodState:
         """Initialize all params / optimizer states / EMA copies."""
         if not self.txs:
             self.init_optimizers()
+        self._finalize_optimizers()
         params: Dict[str, Any] = {}
         order = self.init_order()
         keys = jax.random.split(rng, len(order))

@@ -80,6 +80,14 @@ class Trainer:
         cb.on_app_begin()
 
         cb.on_optimizer_init_start(model)
+        # wire GradClipCallback specs into the optimizer chains before they
+        # are built (ref applies the clip in on_optimizer_step_begin; here it
+        # composes into the jitted apply step — see base._finalize_optimizers)
+        from fastgen_tpu.callbacks.basic import GradClipCallback
+
+        for cb_obj in cb.callbacks.values():
+            if isinstance(cb_obj, GradClipCallback) and cb_obj.clip_norm is not None:
+                model.grad_clip[cb_obj.model_key] = cb_obj.clip_spec()
         model.init_optimizers()
         cb.on_optimizer_init_end(model)
 
