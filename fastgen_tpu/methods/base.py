@@ -305,6 +305,41 @@ class FastGenModel:
     def post_init_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
         return params
 
+    # ---------------------------------------------------- checkpoint pruning
+    def frozen_net_keys(self) -> frozenset:
+        """Nets never trained in any phase (teacher, TCM's cm_teacher) —
+        excluded from checkpoints like the reference's ``model_dict``
+        (ref ``model.py:684-687``; invariant
+        ``tests/test_checkpointing.py:405-486``). They are rebuilt from config
+        + ``pretrained_model_path`` at startup, so persisting them only
+        doubles checkpoint size/time for the big distillation runs."""
+        trainable = set()
+        for p in self.phases:
+            trainable.update(self.trainable_keys(p))
+        return frozenset(k for k in self.nets if k not in trainable)
+
+    def prune_for_checkpoint(self, state: "MethodState") -> "MethodState":
+        frozen = self.frozen_net_keys()
+        if not frozen:
+            return state
+        return state.replace(
+            params={k: v for k, v in state.params.items() if k not in frozen},
+            opt_states={k: v for k, v in state.opt_states.items()
+                        if k not in frozen})
+
+    def restore_frozen(self, restored: "MethodState",
+                       full_state: "MethodState") -> "MethodState":
+        """Re-attach the frozen nets' (initialized/pretrained) params to a
+        pruned restored state (ref invariant: teacher unchanged after load)."""
+        frozen = self.frozen_net_keys()
+        if not frozen:
+            return restored
+        params = dict(restored.params)
+        for k in frozen:
+            if k in full_state.params:
+                params[k] = full_state.params[k]
+        return restored.replace(params=params)
+
     def _checkpoint_arch(self, net) -> Optional[str]:
         name = type(net).__name__
         if "EDM2" in name:

@@ -104,8 +104,10 @@ class Trainer:
         cb.on_load_checkpoint_start(model)
         iter_start = 0
         if cfg.resume:
-            restored, meta, step = self.checkpointer.load(state)
+            restored, meta, step = self.checkpointer.load(
+                model.prune_for_checkpoint(state))
             if restored is not None:
+                restored = model.restore_frozen(restored, state)
                 state = jax.device_put(restored, self.state_shardings)
                 iter_start = int(step)
                 if meta and "callbacks" in meta:
@@ -284,7 +286,8 @@ class Trainer:
     def save_checkpoint(self, model, state, iteration: int) -> None:
         cb = self.callbacks
         cb.on_save_checkpoint_start(model, iteration=iteration)
-        self.checkpointer.save(iteration, state,
+        # frozen nets (teacher/cm_teacher) are not persisted (ref model_dict)
+        self.checkpointer.save(iteration, model.prune_for_checkpoint(state),
                                metadata={"callbacks": cb.state_dict()})
         cb.on_save_checkpoint_success(model, iteration=iteration,
                                       path=self.checkpointer.save_dir)

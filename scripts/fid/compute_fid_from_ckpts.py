@@ -73,7 +73,9 @@ def main():
     if args.max_ckpt is None:
         args.max_ckpt = config.eval.max_ckpt
     model = init_model(config)
-    state_template = model.init_state(jax.random.PRNGKey(config.trainer.seed))
+    # checkpoints exclude frozen nets (teacher/cm_teacher) — prune the template
+    state_template = model.prune_for_checkpoint(
+        model.init_state(jax.random.PRNGKey(config.trainer.seed)))
 
     save_dir = args.ckpt_dir or os.path.join(config.log_config.save_path,
                                              config.trainer.checkpointer.save_dir)

@@ -28,10 +28,12 @@ def load_state(config, model, ckpt_path: Optional[str] = None, step=None):
     save_dir = ckpt_path or os.path.join(config.log_config.save_path,
                                          config.trainer.checkpointer.save_dir)
     ckpt = Checkpointer(save_dir, async_save=False)
-    restored, _, found = ckpt.load(state, step=step)
+    # checkpoints exclude frozen nets (teacher/cm_teacher); restore into the
+    # pruned template and re-attach the initialized/pretrained frozen params
+    restored, _, found = ckpt.load(model.prune_for_checkpoint(state), step=step)
     if restored is None:
         raise FileNotFoundError(f"No checkpoint found in {save_dir}")
-    return restored, found
+    return model.restore_frozen(restored, state), found
 
 
 def select_params(model, state, use_ema: bool = True):

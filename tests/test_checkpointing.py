@@ -221,3 +221,79 @@ class TestNativePretrainedLoad:
         # teacher took the stage-1 weights; fake_score is seeded from teacher
         assert tree_equal(state2.params["teacher"], src)
         assert tree_equal(state2.params["fake_score"], src)
+
+
+class TestTeacherExclusion:
+    """Frozen nets are not persisted (ref ``test_teacher_excluded_from_
+    checkpoint`` / ``test_teacher_state_unchanged_after_load``,
+    ``tests/test_checkpointing.py:405-486``)."""
+
+    def test_frozen_keys_derivation(self, model_and_state):
+        _, model, _ = model_and_state
+        # DMD2: student phase trains net; critic phase trains fake_score(+disc)
+        frozen = model.frozen_net_keys()
+        assert "teacher" in frozen
+        assert "net" not in frozen and "fake_score" not in frozen
+
+    def test_pruned_state_drops_teacher_only(self, model_and_state):
+        _, model, state = model_and_state
+        pruned = model.prune_for_checkpoint(state)
+        assert "teacher" not in pruned.params
+        assert set(pruned.params) == set(state.params) - model.frozen_net_keys()
+        assert set(pruned.opt_states) == set(state.opt_states)  # teacher has no tx
+        # original state untouched
+        assert "teacher" in state.params
+
+    def test_checkpoint_excludes_teacher_and_restores_it(self, model_and_state,
+                                                         tmp_path):
+        _, model, state = model_and_state
+        ckpt = Checkpointer(str(tmp_path / "ck"), async_save=False)
+        stepped, _ = _one_step(model, state)
+        ckpt.save(1, model.prune_for_checkpoint(stepped))
+        ckpt.wait()
+
+        # on-disk tree has no teacher entry
+        raw = ckpt.manager.restore(1)
+        assert "teacher" not in raw["state"]["params"]
+
+        # restore into a pruned template, then re-attach the frozen teacher
+        restored, _, _ = ckpt.load(model.prune_for_checkpoint(state))
+        full = model.restore_frozen(restored, state)
+        assert tree_equal(full.params["teacher"], state.params["teacher"])
+        assert tree_equal(full.params["net"], stepped.params["net"])
+        ckpt.close()
+
+    def test_legacy_full_checkpoint_still_loads(self, model_and_state, tmp_path):
+        """Old checkpoints that included the teacher load via the tolerant
+        path: extra keys dropped, everything else exact."""
+        _, model, state = model_and_state
+        ckpt = Checkpointer(str(tmp_path / "legacy"), async_save=False)
+        stepped, _ = _one_step(model, state, seed=3)
+        ckpt.save(1, stepped)  # full state, the pre-pruning layout
+        ckpt.wait()
+        restored, _, _ = ckpt.load(model.prune_for_checkpoint(state))
+        full = model.restore_frozen(restored, state)
+        assert tree_equal(full.params["net"], stepped.params["net"])
+        assert tree_equal(full.params["teacher"], state.params["teacher"])
+        ckpt.close()
+
+    def test_sft_prune_is_noop(self):
+        """Methods with no frozen nets (SFT teacher-run layout) round-trip
+        identically through the pruning helpers."""
+        import copy
+
+        from fastgen_tpu.configs.data import Synthetic_Loader_Config
+        from fastgen_tpu.configs.methods.config_sft import (
+            create_config as create_sft_config,
+        )
+        from fastgen_tpu.configs.net import EDM_Test_Config
+
+        cfg = create_sft_config()
+        cfg.model.net = copy.deepcopy(EDM_Test_Config)
+        cfg.model.input_shape = [16, 16, 3]
+        cfg.dataloader_train = copy.deepcopy(Synthetic_Loader_Config)
+        model = instantiate(cfg.model_class, config=cfg.model)
+        state = model.init_state(KEY)
+        assert model.frozen_net_keys() == frozenset()
+        assert model.prune_for_checkpoint(state) is state
+        assert model.restore_frozen(state, state) is state
