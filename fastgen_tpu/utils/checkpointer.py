@@ -222,6 +222,14 @@ def load_native_net_params(path: str, step: Optional[int] = None,
         raise FileNotFoundError(f"no checkpoint steps under {path}")
     raw = mngr.restore(step)
     mngr.close()
+    # hand back host numpy: orbax-restored jax.Arrays carry committed devices
+    # and layouts that poison donated jitted steps downstream (TPU backend
+    # InvalidArgument); numpy leaves re-enter as fresh default-layout buffers
+    import jax
+    import numpy as np
+
+    raw = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "dtype") else x, raw)
     state = raw.get("state", raw)
     if prefer_ema and state.get("ema"):
         name = sorted(state["ema"])[0]
