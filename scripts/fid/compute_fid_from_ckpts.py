@@ -45,6 +45,11 @@ def parse_args():
     p.add_argument("--detector_path", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--sampler", choices=["student", "teacher"],
+                   default="student",
+                   help="student: few-step generator_fn (the distillation "
+                        "protocol); teacher: the net's own multi-step sampler "
+                        "(--steps, default 35) — the upper-bound row")
     return p.parse_args(argv), overrides
 
 
@@ -106,6 +111,12 @@ def main():
                 ids = jax.random.randint(jax.random.fold_in(key, 1), (args.batch,),
                                          0, label_dim)
                 cond = jax.nn.one_hot(ids, label_dim, dtype=model.precision)
+            if args.sampler == "teacher":
+                # the net's own multi-step sampler (EDM Euler / dpm2m), the
+                # teacher-quality upper bound for the distilled student
+                return model.net.apply(params_net, noise, condition=cond,
+                                       num_steps=args.steps or 35,
+                                       method=model.net.sample)
             return model.generator_fn(params_net, noise, rng=key, condition=cond,
                                       student_sample_steps=sample_steps,
                                       t_list=config.model.sample_t_cfg.t_list)

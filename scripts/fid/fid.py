@@ -81,13 +81,17 @@ class FlaxInceptionDetector:
 
             seed = int(path.split(":", 1)[1] or 0)
             key = jax.random.PRNGKey(seed)
-            variables = net.init(key, jnp.zeros((1, 299, 299, 3)))
+            # jit the init + calibration passes: eager flax dispatches each op
+            # separately, which is unusably slow through a remote-TPU tunnel
+            variables = jax.jit(
+                lambda k: net.init(k, jnp.zeros((1, 299, 299, 3))))(key)
             calib_imgs = jax.random.uniform(
                 jax.random.fold_in(key, 1), (32, 299, 299, 3),
                 minval=-1.0, maxval=1.0)
             with _calibration():
-                (feats, _), aux = net.apply(variables, calib_imgs,
-                                            mutable=["calib"])
+                (feats, _), aux = jax.jit(
+                    lambda v, x: net.apply(v, x, mutable=["calib"]))(
+                        variables, calib_imgs)
             self.variables = apply_calibration(variables, aux["calib"])
             # unit-scale the feature space so FID magnitudes are O(1..100)
             self._feat_scale = float(np.asarray(feats).std()) or 1.0
