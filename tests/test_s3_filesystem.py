@@ -105,3 +105,88 @@ def test_boto3_missing_raises():
 
     with pytest.raises(ImportError, match="boto3"):
         Checkpointer("s3://bkt/nope")
+
+
+class OrderedFakeS3Client(FakeS3Client):
+    """Also records upload order and supports delete_objects."""
+
+    def __init__(self):
+        super().__init__()
+        self.upload_order = []
+
+    def upload_file(self, filename, bucket, key):
+        super().upload_file(filename, bucket, key)
+        self.upload_order.append(key)
+
+    def delete_objects(self, Bucket, Delete):
+        for obj in Delete["Objects"]:
+            self.store.pop((Bucket, obj["Key"]), None)
+        return {}
+
+
+class TestCrashSafety:
+    """The advisor-found S3 safety contract: commit marker uploads last, a
+    crash mid-upload never restores as a committed step, and steps pruned by
+    max_to_keep never resurrect from S3."""
+
+    def test_commit_marker_uploads_last(self, tmp_path):
+        src = tmp_path / "step"
+        src.mkdir()
+        (src / "_CHECKPOINT_METADATA").write_text("{}")
+        (src / "array_0").write_bytes(b"x" * 16)
+        (src / "zz_shard").write_bytes(b"y" * 16)
+        client = OrderedFakeS3Client()
+        fs = S3FileSystem(client=client)
+        fs.upload_dir(str(src), "s3://bkt/ck/7",
+                      upload_last=("_CHECKPOINT_METADATA",))
+        assert client.upload_order[-1].endswith("_CHECKPOINT_METADATA")
+        assert len(client.upload_order) == 3
+
+    def test_uncommitted_step_dropped_on_resume(self, tmp_path, monkeypatch):
+        """A step prefix in S3 without the Orbax commit marker (crash mid-
+        upload) is not restorable."""
+        import tempfile
+
+        from fastgen_tpu.utils.checkpointer import Checkpointer
+
+        client = OrderedFakeS3Client()
+        # committed step 1
+        client.store[("bkt", "run/ckpt/1/_CHECKPOINT_METADATA")] = b"{}"
+        client.store[("bkt", "run/ckpt/1/data")] = b"d1"
+        # torn step 2: no commit marker
+        client.store[("bkt", "run/ckpt/2/data")] = b"d2"
+        monkeypatch.setattr(tempfile, "gettempdir",
+                            lambda: str(tmp_path / "stage"))
+        os.makedirs(tmp_path / "stage", exist_ok=True)
+        ck = Checkpointer("s3://bkt/run/ckpt", async_save=False,
+                          s3_client=client)
+        staged = [d for d in os.listdir(ck.save_dir) if d.isdigit()]
+        assert staged == ["1"]
+
+    def test_pruned_steps_deleted_from_s3(self, tmp_path, monkeypatch):
+        """max_to_keep pruning mirrors to S3 so stale steps cannot resurrect
+        on the next restart."""
+        import tempfile
+
+        import jax.numpy as jnp
+        from flax import struct
+
+        from fastgen_tpu.utils.checkpointer import Checkpointer
+
+        class TinyState(struct.PyTreeNode):
+            w: jnp.ndarray
+
+        client = OrderedFakeS3Client()
+        monkeypatch.setattr(tempfile, "gettempdir",
+                            lambda: str(tmp_path / "stage"))
+        os.makedirs(tmp_path / "stage", exist_ok=True)
+        ck = Checkpointer("s3://bkt/run2/ckpt", async_save=False,
+                          s3_client=client, max_to_keep=1)
+        ck.save(1, TinyState(w=jnp.zeros(2)))
+        ck.wait()
+        ck.save(2, TinyState(w=jnp.ones(2)))
+        ck.wait()
+        tops = {k.split("run2/ckpt/")[1].split("/")[0]
+                for (_, k) in client.store if "run2/ckpt/" in k}
+        steps = {t for t in tops if t.isdigit()}
+        assert steps == {"2"}
