@@ -100,6 +100,11 @@ class Trainer:
                                                            fsdp=cfg.fsdp)
         cb.on_model_init_end(model)
 
+        # warm-start nets from another run's checkpoint with key remapping
+        # (ref ``trainer.py:233-261`` load_pretrained_ckpt)
+        if getattr(cfg.checkpointer, "pretrained_ckpt_path", ""):
+            state = self._load_pretrained_ckpt(model, state)
+
         # resume
         cb.on_load_checkpoint_start(model)
         iter_start = 0
@@ -283,6 +288,46 @@ class Trainer:
         return state.params["net"]
 
     # ------------------------------------------------------------ checkpoint
+    def _load_pretrained_ckpt(self, model, state):
+        """Warm-start selected nets from a previous run's Orbax checkpoint,
+        remapping checkpoint net keys onto this model's keys (ref
+        ``trainer.py:233-261``: ``pretrained_ckpt_key_map`` = {model_key:
+        ckpt_key}, e.g. seeding DMD2's fake_score from an SFT run's net)."""
+        import numpy as np
+
+        import orbax.checkpoint as ocp
+
+        from fastgen_tpu.utils.checkpointer import tolerant_merge
+
+        ck_cfg = self.config.trainer.checkpointer
+        mngr = ocp.CheckpointManager(os.path.abspath(ck_cfg.pretrained_ckpt_path))
+        step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"pretrained_ckpt_path has no steps: {ck_cfg.pretrained_ckpt_path}")
+        raw = mngr.restore(step)
+        mngr.close()
+        raw = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "dtype") else x, raw)
+        raw_params = raw.get("state", raw).get("params", {})
+        params = dict(state.params)
+        for k_model, k_ckpt in (ck_cfg.pretrained_ckpt_key_map or {}).items():
+            if k_model not in params:
+                logger.warning(f"model has no net {k_model!r}; skipping "
+                               f"pretrained key {k_ckpt!r}")
+                continue
+            if k_ckpt not in raw_params:
+                logger.warning(f"pretrained ckpt has no net {k_ckpt!r}; "
+                               f"skipping {k_model!r}")
+                continue
+            params[k_model] = tolerant_merge(params[k_model],
+                                             raw_params[k_ckpt],
+                                             f"pretrained/{k_model}")
+            logger.info(f"Warm-started {k_model!r} from {k_ckpt!r} in "
+                        f"{ck_cfg.pretrained_ckpt_path}@{step}")
+        state = state.replace(params=params)
+        return jax.device_put(state, self.state_shardings)
+
     def save_checkpoint(self, model, state, iteration: int) -> None:
         cb = self.callbacks
         cb.on_save_checkpoint_start(model, iteration=iteration)

@@ -297,3 +297,39 @@ class TestTeacherExclusion:
         assert model.frozen_net_keys() == frozenset()
         assert model.prune_for_checkpoint(state) is state
         assert model.restore_frozen(state, state) is state
+
+
+class TestPretrainedWarmStart:
+    """trainer.load_pretrained_ckpt equivalent: warm-start nets from another
+    run's checkpoint with key remapping (ref ``trainer.py:233-261``)."""
+
+    def test_key_remap_seeds_fake_score(self, model_and_state, tmp_path):
+        from fastgen_tpu.trainer import Trainer
+
+        cfg, model, state = model_and_state
+        # a "previous run": one student step, saved under tmp
+        stepped, _ = _one_step(model, state, seed=11)
+        src = Checkpointer(str(tmp_path / "src"), async_save=False)
+        src.save(5, model.prune_for_checkpoint(stepped))
+        src.wait()
+        src.close()
+
+        import copy
+
+        cfg2 = copy.deepcopy(cfg)
+        cfg2.trainer.checkpointer.pretrained_ckpt_path = str(tmp_path / "src")
+        # remap: this model's fake_score <- checkpoint's net
+        cfg2.trainer.checkpointer.pretrained_ckpt_key_map = {
+            "fake_score": "net", "ghost": "net", "net": "missing_key"}
+        from fastgen_tpu.parallel import mesh as mesh_lib
+
+        # lightweight stand-in with the two attributes the helper reads
+        class _T:
+            config = cfg2
+
+        _, _T.state_shardings = mesh_lib.shard_state(
+            state, mesh_lib.build_mesh(), fsdp=False)
+        warm = Trainer._load_pretrained_ckpt(_T(), model, state)
+        assert tree_equal(warm.params["fake_score"], stepped.params["net"])
+        # unknown model key and missing ckpt key are skipped, not fatal
+        assert tree_equal(warm.params["net"], state.params["net"])
