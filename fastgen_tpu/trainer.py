@@ -42,10 +42,16 @@ class Trainer:
         self.callbacks = CallbackDict(config, self)
         ckpt_cfg = config.trainer.checkpointer
         save_dir = ckpt_cfg.save_dir
-        if not os.path.isabs(save_dir):
+        if ckpt_cfg.use_s3:
+            # ref ``checkpointer.py:99-141``: checkpoints live under
+            # <s3_container>/<save_dir> with credentials from s3_credential
+            save_dir = os.path.join(ckpt_cfg.s3_container, ckpt_cfg.save_dir)
+        elif not os.path.isabs(save_dir):
             save_dir = os.path.join(config.log_config.save_path, save_dir)
-        self.checkpointer = Checkpointer(save_dir, max_to_keep=ckpt_cfg.max_to_keep,
-                                         async_save=ckpt_cfg.async_save)
+        self.checkpointer = Checkpointer(
+            save_dir, max_to_keep=ckpt_cfg.max_to_keep,
+            async_save=ckpt_cfg.async_save,
+            s3_credential_path=ckpt_cfg.s3_credential or None)
         self.autoresume = autoresume or NoOpAutoResume()
         self.mesh = mesh_lib.mesh_from_trainer_config(config.trainer)
         jax.config.update("jax_default_matmul_precision",
