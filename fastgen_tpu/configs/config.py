@@ -41,14 +41,17 @@ class MeshConfig:
       - both > 1 is HSDP (2-D replicate x shard)
       - tp axis shards attention heads / mlp hidden (tensor parallel; the
         reference has no TP, this is a TPU-native extension)
+      - sp axis shards the token dimension of video-DiT activations
+        (sequence/context parallel — also absent from the reference)
     Axis sizes of -1 mean "use all remaining devices".
     """
 
     dp: int = 1
     fsdp: int = -1
     tp: int = 1
+    sp: int = 1
     # axis names, fixed order
-    axis_names: tuple = ("dp", "fsdp", "tp")
+    axis_names: tuple = ("dp", "fsdp", "tp", "sp")
 
 
 @attrs.define(slots=False)

@@ -34,6 +34,7 @@ import flax.linen as nn
 from fastgen_tpu.networks.network import CausalFastGenNetwork, FastGenNetwork
 from fastgen_tpu.ops.attention import dot_product_attention
 from fastgen_tpu.ops.schedules import NET_PRED_TYPES
+from fastgen_tpu.parallel.sp import shard_seq
 
 
 class RMSNorm(nn.Module):
@@ -520,7 +521,10 @@ class WanVideoDiT(FastGenNetwork):
                         if causal_chunk_frames else None)
 
         features = []
-        x = tokens
+        # sequence parallelism: pin the token axis to the sp mesh axis (no-op
+        # on sp=1 meshes); every per-token activation below is then N/sp per
+        # device and GSPMD gathers K/V around attention (parallel/sp.py)
+        x = shard_seq(tokens)
         if self.scan_blocks:
             if feature_indices or skip_layers:
                 raise ValueError(
@@ -530,7 +534,7 @@ class WanVideoDiT(FastGenNetwork):
             def _body(blk, carry, tp_, ctx_, cos_, sin_):
                 y, _ = blk(carry, tp_, ctx_, (cos_, sin_), frame_seqlen,
                            causal_block=causal_block)
-                return y, None
+                return shard_seq(y), None
 
             if self.remat:
                 # prevent_cse=False: lax.scan's loop body is already a CSE
@@ -555,10 +559,12 @@ class WanVideoDiT(FastGenNetwork):
                         return blk(x_, tp_, ctx_, (cos_, sin_), frame_seqlen,
                                    causal_block=causal_block)[0]
 
-                    x = nn.remat(_blk)(block, x, timestep_proj, context, cos, sin)
+                    x = shard_seq(nn.remat(_blk)(block, x, timestep_proj,
+                                                 context, cos, sin))
                 else:
                     x, _ = block(x, timestep_proj, context, (cos, sin),
                                  frame_seqlen, causal_block=causal_block)
+                    x = shard_seq(x)
                 if idx in feature_indices:
                     features.append(x.reshape(x.shape[0], f, hp, wp, self.dim))
                 if return_features_early and len(features) == len(feature_indices):

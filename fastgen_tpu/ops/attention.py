@@ -51,10 +51,19 @@ def dot_product_attention(q, k, v, bias=None, mask=None, scale=None,
     n = q.shape[1]
 
     # cross-attention (n_q != n_kv) is supported by the kernel (q/kv are
-    # padded independently) as long as no block-causal mask is requested
+    # padded independently) as long as no block-causal mask is requested.
+    # Tensor/sequence-parallel runs (mesh tp>1 or sp>1) force the XLA path:
+    # a pallas_call is a single-device program GSPMD cannot partition, while
+    # the XLA einsum attention partitions cleanly over the tp-sharded head
+    # axis / sp-sharded query axis.
+    from fastgen_tpu.parallel.sp import sp_size
+    from fastgen_tpu.utils.global_vars import get_global_var
+
     flash_ok = (bias is None and mask is None and k.shape == v.shape
                 and q.shape[0] == k.shape[0] and q.shape[2:] == k.shape[2:]
-                and (causal_block is None or q.shape[1] == k.shape[1]))
+                and (causal_block is None or q.shape[1] == k.shape[1])
+                and int(get_global_var("mesh_tp", 1) or 1) <= 1
+                and sp_size() <= 1)
     use_flash = (impl == "flash" or
                  (impl == "auto" and jax.default_backend() == "tpu"
                   and n >= _FLASH_MIN_SEQ)) and flash_ok

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from fastgen_tpu.callbacks.callback import CallbackDict
 from fastgen_tpu.data.preprocess import preprocess_data
 from fastgen_tpu.parallel import mesh as mesh_lib
+from fastgen_tpu.parallel import sp as sp_lib
 from fastgen_tpu.utils import instantiate
 from fastgen_tpu.utils import logging_utils as logger
 from fastgen_tpu.utils.autoresume import NoOpAutoResume
@@ -57,6 +58,10 @@ class Trainer:
         jax.config.update("jax_default_matmul_precision",
                           config.trainer.matmul.matmul_precision)
         set_global_vars(config.trainer.global_vars)
+        # tp>1 routes attention through the XLA (GSPMD-partitionable) path
+        set_global_vars({"mesh_tp": int(self.mesh.shape.get("tp", 1))})
+        # sp>1: networks pin their token axis via parallel.sp.shard_seq
+        sp_lib.set_active_mesh(self.mesh)
         # ADA augmentation pipe (ref trainer passes it into preprocess;
         # ``datasets/augment.py`` aug labels feed condition["aug_condition"])
         self.augment_pipe = (instantiate(config.trainer.augment_pipe)

@@ -37,7 +37,7 @@ def make_batch(n=8):
 def test_mesh_building():
     assert len(jax.devices()) == 8
     m = mesh_lib.build_mesh(dp=2, fsdp=4)
-    assert dict(m.shape) == {"dp": 2, "fsdp": 4, "tp": 1}
+    assert dict(m.shape) == {"dp": 2, "fsdp": 4, "tp": 1, "sp": 1}
     m2 = mesh_lib.build_mesh(dp=1, fsdp=-1)
     assert m2.shape["fsdp"] == 8
     with pytest.raises(AssertionError):
@@ -56,6 +56,17 @@ def test_trainer_flag_resolution():
     config.trainer.fsdp_sharding_group_size = 4  # HSDP
     m = mesh_lib.mesh_from_trainer_config(config.trainer)
     assert m.shape["dp"] == 2 and m.shape["fsdp"] == 4
+    # an explicit tp/sp mesh wins over the ddp/fsdp flags (the flags keep
+    # controlling param sharding, not geometry)
+    config.trainer.mesh.dp = 2
+    config.trainer.mesh.fsdp = 2
+    config.trainer.mesh.sp = 2
+    m = mesh_lib.mesh_from_trainer_config(config.trainer)
+    assert dict(m.shape) == {"dp": 2, "fsdp": 2, "tp": 1, "sp": 2}
+    config.trainer.mesh.sp = 1
+    config.trainer.mesh.tp = 2
+    m = mesh_lib.mesh_from_trainer_config(config.trainer)
+    assert dict(m.shape) == {"dp": 2, "fsdp": 2, "tp": 2, "sp": 1}
 
 
 def test_fsdp_spec_rule():
