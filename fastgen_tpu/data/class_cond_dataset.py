@@ -105,10 +105,15 @@ class ImageFolderDataset:
         reader = self._native_reader()
         if reader is not None and fname.lower().endswith(".png") \
                 and self._raw_shape is not None and self._raw_shape[3] == 3:
-            img = reader.decode_png_rgb(self._native_idx[fname],
-                                        self._raw_shape[1], self._raw_shape[2])
-            if img is not None:
-                return img
+            # .get: the C++ central-directory parse can disagree with
+            # zipfile's (zip64 entry counts, >4095-byte names) — any name it
+            # missed must fall through to PIL, not KeyError
+            nidx = self._native_idx.get(fname)
+            if nidx is not None:
+                img = reader.decode_png_rgb(nidx, self._raw_shape[1],
+                                            self._raw_shape[2])
+                if img is not None:
+                    return img
         data = self._zipfile().read(fname)
         img = np.asarray(PIL.Image.open(io.BytesIO(data)))
         if img.ndim == 2:

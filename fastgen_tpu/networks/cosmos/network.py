@@ -428,12 +428,20 @@ class CosmosPredict2(FastGenNetwork):
                guidance_scale: Optional[float] = 5.0, num_steps: int = 50,
                shift: float = 5.0, solver: str = "euler",
                skip_layers: Optional[Tuple[int, ...]] = None,
-               skip_layers_start_percent: float = 0.0, **kwargs):
+               skip_layers_start_percent: float = 0.0,
+               conditional_frame_timestep: float = 0.0, **kwargs):
         """Teacher sampler with CFG + SLG, text2world and video2world
         (ref ``cosmos_predict2/network.py:1093-1270``; FlowUniPC there —
         Euler / DPM-2M flow stepping here on the flow-shift grid; the
         reference's analytic-velocity replacement for conditioning frames is
-        equivalent to pinning them via ``preserve_conditioning`` each step)."""
+        equivalent to pinning them via ``preserve_conditioning`` each step).
+
+        video2world: conditioned frames are embedded at
+        ``conditional_frame_timestep`` (default 0.0 = "clean", matching ref
+        ``network.py:1229-1234``) rather than the current noisy t — their
+        AdaLN modulation must say "clean context", not "noisy at t_cur".
+        Pass a negative value to disable (uniform t). Euler branch only; the
+        dpm2m branch uses uniform t."""
         if solver == "dpm2m":
             # conditioning preservation rides via the net's
             # preserve_conditioning hook; SLG is an euler-branch feature
@@ -450,8 +458,19 @@ class CosmosPredict2(FastGenNetwork):
         use_cfg = guidance_scale is not None and guidance_scale > 1.0 and \
             neg_condition is not None
         b = x.shape[0]
+        # per-frame mask [B, T] of conditioned frames (constant within frame)
+        mask_bt = None
+        if (conditional_frame_timestep >= 0 and isinstance(condition, dict)
+                and condition.get("condition_mask") is not None):
+            cm = condition["condition_mask"]
+            mask_bt = jnp.broadcast_to(
+                cm.reshape(cm.shape[0], cm.shape[1], -1)[:, :, :1],
+                (b, x.shape[1], 1))[..., 0].astype(jnp.float32)
         for idx, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
             tb = jnp.full((b,), t_cur, jnp.float32)
+            if mask_bt is not None:
+                tb = (conditional_frame_timestep * mask_bt
+                      + tb[:, None] * (1.0 - mask_bt))
             v = self(x, tb, condition=condition, fwd_pred_type="flow")
             if use_cfg:
                 slg = (skip_layers if skip_layers is not None

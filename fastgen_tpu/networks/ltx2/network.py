@@ -281,18 +281,21 @@ class LTX2Attention(nn.Module):
         v = self.to_v(kv_src)
         b, nq, _ = q.shape
         nk = k.shape[1]
-        if k_rope is None:
+        # keys rotate with q's tables only for self-attention; cross-attention
+        # keys rotate only when the caller supplies k-specific tables
+        # (q-only RoPE on cross-attn = k_rope stays None)
+        if k_rope is None and context is None:
             k_rope = q_rope
         if q_rope is not None and self.rope_type == "interleaved":
             q = apply_interleaved_rope(q, *q_rope)
-            if context is None or k_rope is not None:
+            if k_rope is not None:
                 k = apply_interleaved_rope(k, *k_rope)
         q = q.reshape(b, nq, self.num_heads, self.head_dim)
         k = k.reshape(b, nk, self.num_heads, self.head_dim)
         v = v.reshape(b, nk, self.num_heads, self.head_dim)
         if q_rope is not None and self.rope_type == "split":
             q = apply_split_rope(q, *q_rope)
-            if context is None or k_rope is not None:
+            if k_rope is not None:
                 k = apply_split_rope(k, *k_rope)
         out = dot_product_attention(q, k, v, impl=self.attn_impl)
         return self.to_out(out.reshape(b, nq, self.inner_dim))

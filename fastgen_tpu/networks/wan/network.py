@@ -698,6 +698,16 @@ class CausalWanVideoDiT(WanVideoDiT, CausalFastGenNetwork):
         max_tokens = (max_frames or self.total_num_frames) * self.frame_seqlen
         head_dim = self.head_dim
         cache = {"self": [], "cross": None, "len": jnp.zeros((), jnp.int32)}
+        if self.scan_blocks:
+            # stacked layout (leading [L] axis) so forward_chunk's nn.scan
+            # can consume one block's cache slice per step
+            cache["self"] = {
+                "k": jnp.zeros((self.num_layers, batch_size, max_tokens,
+                                self.num_heads, head_dim), dtype),
+                "v": jnp.zeros((self.num_layers, batch_size, max_tokens,
+                                self.num_heads, head_dim), dtype),
+            }
+            return cache
         for _ in range(self.num_layers):
             cache["self"].append({
                 "k": jnp.zeros((batch_size, max_tokens, self.num_heads, head_dim),
@@ -711,9 +721,22 @@ class CausalWanVideoDiT(WanVideoDiT, CausalFastGenNetwork):
         raise NotImplementedError("use apply(..., method=net.precompute_cross_kv)")
 
     def precompute_cross_kv(self, condition):
-        """Static cross-attn K/V per block (ref ``network_causal.py:330-358``)."""
+        """Static cross-attn K/V per block (ref ``network_causal.py:330-358``).
+
+        scan_blocks=True returns the stacked ``(k, v)`` pair with a leading
+        [L] axis (matching the stacked param/cache layout); otherwise a list
+        of per-block ``(k, v)`` tuples."""
         text_embeds = condition["text_embeds"] if isinstance(condition, dict) else condition
         context = self._embed_text(text_embeds)
+        if self.scan_blocks:
+            def _kv(blk, carry, ctx_):
+                return carry, blk.attn2.kv(ctx_)
+
+            scan = nn.scan(_kv, variable_axes={"params": 0},
+                           split_rngs={"params": True},
+                           in_axes=(nn.broadcast,), length=self.num_layers)
+            _, kvs = scan(self.block_stack, 0, context)
+            return kvs
         return [blk.attn2.kv(context) for blk in self.blocks]
 
     def forward_chunk(self, x_chunk, t, cache, start_frame,
@@ -752,14 +775,35 @@ class CausalWanVideoDiT(WanVideoDiT, CausalFastGenNetwork):
             context = None
 
         x = tokens
-        new_self = []
-        for idx, block in enumerate(self.blocks):
-            x, updated = block(
-                x, timestep_proj, context, (cos, sin), frame_seqlen,
-                self_cache=cache["self"][idx], start_token=start_token,
-                cross_kv=cross_kv[idx] if cross_kv is not None else None,
-                store_kv=store_kv)
-            new_self.append(updated)
+        if self.scan_blocks:
+            # stacked-cache AR path: scan one compiled block over the [L]
+            # axis of params, KV cache, and (optionally) precomputed cross-KV
+            have_ckv = cross_kv is not None
+
+            def _chunk_body(blk, carry, tp_, ctx_, cos_, sin_, *scanned):
+                cache_i = scanned[0]
+                ckv_i = scanned[1] if have_ckv else None
+                y, upd = blk(carry, tp_, ctx_, (cos_, sin_), frame_seqlen,
+                             self_cache=cache_i, start_token=start_token,
+                             cross_kv=ckv_i, store_kv=store_kv)
+                return y, (upd if store_kv else 0)
+
+            scan = nn.scan(_chunk_body, variable_axes={"params": 0},
+                           split_rngs={"params": True},
+                           in_axes=(nn.broadcast,) * 4 + (0,) * (1 + have_ckv),
+                           length=self.num_layers)
+            xs = (cache["self"], cross_kv) if have_ckv else (cache["self"],)
+            x, new_self = scan(self.block_stack, x, timestep_proj, context,
+                               cos, sin, *xs)
+        else:
+            new_self = []
+            for idx, block in enumerate(self.blocks):
+                x, updated = block(
+                    x, timestep_proj, context, (cos, sin), frame_seqlen,
+                    self_cache=cache["self"][idx], start_token=start_token,
+                    cross_kv=cross_kv[idx] if cross_kv is not None else None,
+                    store_kv=store_kv)
+                new_self.append(updated)
 
         shift, scale = [p.squeeze(2) for p in jnp.split(
             self.out_scale_shift_table[:, None].astype(jnp.float32)

@@ -136,9 +136,9 @@ class Trainer:
         grad_steps = {p: jax.jit(model.make_grad_step(p)) for p in model.phases}
         apply_steps = {p: jax.jit(model.make_apply_step(p), donate_argnums=0)
                        for p in model.phases}
-        merge_var_steps = {p: jax.jit(model.make_merge_variables_step(),
-                                      donate_argnums=0)
-                           for p in model.phases}
+        # phase-independent: one compiled program serves every phase
+        merge_var_step = jax.jit(model.make_merge_variables_step(),
+                                 donate_argnums=0)
 
         # dataloaders; exact sample-index resume (ref ``trainer.py:156-163``)
         cb.on_dataloader_init_start(model, iteration=iter_start)
@@ -200,7 +200,7 @@ class Trainer:
                     var_updates = (outputs.pop("_variable_updates", None)
                                    if isinstance(outputs, dict) else None)
                     if var_updates:
-                        state = merge_var_steps[phase](state, var_updates)
+                        state = merge_var_step(state, var_updates)
                     grads_sum = grads if grads_sum is None else jax.tree_util.tree_map(
                         jnp.add, grads_sum, grads)
                 grads_sum = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
@@ -304,23 +304,11 @@ class Trainer:
         remapping checkpoint net keys onto this model's keys (ref
         ``trainer.py:233-261``: ``pretrained_ckpt_key_map`` = {model_key:
         ckpt_key}, e.g. seeding DMD2's fake_score from an SFT run's net)."""
-        import numpy as np
-
-        import orbax.checkpoint as ocp
-
-        from fastgen_tpu.utils.checkpointer import tolerant_merge
+        from fastgen_tpu.utils.checkpointer import raw_restore, tolerant_merge
 
         ck_cfg = self.config.trainer.checkpointer
-        mngr = ocp.CheckpointManager(os.path.abspath(ck_cfg.pretrained_ckpt_path))
-        step = mngr.latest_step()
-        if step is None:
-            raise FileNotFoundError(
-                f"pretrained_ckpt_path has no steps: {ck_cfg.pretrained_ckpt_path}")
-        raw = mngr.restore(step)
-        mngr.close()
-        raw = jax.tree_util.tree_map(
-            lambda x: np.asarray(x) if hasattr(x, "dtype") else x, raw)
-        raw_params = raw.get("state", raw).get("params", {})
+        raw_state, step = raw_restore(ck_cfg.pretrained_ckpt_path)
+        raw_params = raw_state.get("params", {})
         params = dict(state.params)
         for k_model, k_ckpt in (ck_cfg.pretrained_ckpt_key_map or {}).items():
             if k_model not in params:

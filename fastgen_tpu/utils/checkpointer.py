@@ -144,7 +144,11 @@ class Checkpointer:
             if top.isdigit():
                 remote_steps.add(top)
         for step in sorted(remote_steps - local_steps):
-            self.s3.delete_prefix(f"{self.s3_path}/{step}")
+            # trailing slash: prefix "1" would string-match steps "10"/"123"
+            self.s3.delete_prefix(f"{self.s3_path}/{step}/")
+            # the metadata sidecar lives OUTSIDE the step prefix — delete it
+            # too or pruned steps' sidecars accumulate forever
+            self.s3.delete_prefix(f"{self.s3_path}/metadata_{step}.json")
 
     def save(self, iteration: int, state: Any, metadata: Optional[dict] = None) -> None:
         self.manager.save(iteration, args=ocp.args.StandardSave({"state": state}))
@@ -209,6 +213,28 @@ class FSDPCheckpointer(Checkpointer):
     """Alias for surface parity — Orbax is natively sharded."""
 
 
+def raw_restore(path: str, step: Optional[int] = None):
+    """Raw-restore an Orbax run directory as host numpy: ``(state_dict,
+    step)``. Numpy matters — orbax-restored jax.Arrays carry committed
+    devices and layouts that poison donated jitted steps downstream (TPU
+    backend InvalidArgument); numpy leaves re-enter as fresh default-layout
+    buffers."""
+    import jax
+    import numpy as np
+
+    mngr = ocp.CheckpointManager(os.path.abspath(path))
+    try:
+        step = step if step is not None else mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint steps under {path}")
+        raw = mngr.restore(step)
+    finally:
+        mngr.close()
+    raw = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "dtype") else x, raw)
+    return raw.get("state", raw), step
+
+
 def load_native_net_params(path: str, step: Optional[int] = None,
                            prefer_ema: bool = True):
     """Raw-restore a fastgen-tpu Orbax run directory and return the net's
@@ -216,21 +242,7 @@ def load_native_net_params(path: str, step: Optional[int] = None,
     ``pretrained_model_path`` (e.g. a stage-1 SFT teacher feeding a DMD2
     distillation run, ref ``model.py:600-644`` loads its own torch ckpts the
     same way). Prefers the first EMA tree when present."""
-    mngr = ocp.CheckpointManager(os.path.abspath(path))
-    step = step if step is not None else mngr.latest_step()
-    if step is None:
-        raise FileNotFoundError(f"no checkpoint steps under {path}")
-    raw = mngr.restore(step)
-    mngr.close()
-    # hand back host numpy: orbax-restored jax.Arrays carry committed devices
-    # and layouts that poison donated jitted steps downstream (TPU backend
-    # InvalidArgument); numpy leaves re-enter as fresh default-layout buffers
-    import jax
-    import numpy as np
-
-    raw = jax.tree_util.tree_map(
-        lambda x: np.asarray(x) if hasattr(x, "dtype") else x, raw)
-    state = raw.get("state", raw)
+    state, step = raw_restore(path, step)
     if prefer_ema and state.get("ema"):
         name = sorted(state["ema"])[0]
         logger.info(f"Loaded native ckpt {path}@{step} (ema '{name}')")

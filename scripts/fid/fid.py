@@ -22,6 +22,7 @@ all_reduces them, ``fid.py:82-84``) — here via
 from __future__ import annotations
 
 import os
+import sys
 from typing import Optional, Tuple
 
 import numpy as np
@@ -157,12 +158,17 @@ def get_detector(name: str = "auto", path: Optional[str] = None):
     if name == "inception_torch":
         return TorchInceptionDetector(path)
     # auto: native JAX inception if weights are loadable as a state dict,
-    # then the torch-pickle passthrough, else random projection
+    # then the torch-pickle passthrough, else random projection. Failures
+    # are printed: silently degrading to a different feature space than the
+    # --ref stats would make the resulting "FID" meaningless.
     for cls in (FlaxInceptionDetector, TorchInceptionDetector):
         try:
             return cls(path)
-        except Exception:
-            continue
+        except Exception as e:  # noqa: BLE001 - try the next detector
+            print(f"[fid] {cls.__name__} unavailable: {e}", file=sys.stderr)
+    print("[fid] WARNING: falling back to RandomProjDetector — make sure the "
+          "reference stats were computed with the same detector",
+          file=sys.stderr)
     return RandomProjDetector()
 
 

@@ -103,6 +103,46 @@ def test_ar_cache_matches_parallel(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_ar_scan_blocks_matches_parallel(setup):
+    """The stacked-param (scan_blocks=True) AR path — nn.scan over blocks,
+    stacked KV caches — matches the per-block AR path and the parallel
+    block-causal forward on the same weights."""
+    from fastgen_tpu.networks.wan.network import stack_block_params
+
+    _, cnet, _, cparams = setup
+    x, t, cond = inputs()
+    t_inhom = jnp.tile(jnp.array([[0.9, 0.9, 0.5, 0.5]]), (2, 1))
+    parallel = cnet.apply(cparams, x, t_inhom, condition=cond, causal=True)
+
+    snet = CausalWanVideoDiT(chunk_size=2, total_num_frames=4, frame_height=8,
+                             frame_width=8, scan_blocks=True,
+                             dim=96, num_layers=2, num_heads=4, ffn_dim=128,
+                             in_channels=4, out_channels=4, text_dim=32,
+                             rope_max_seq_len=64)
+    sparams = {"params": stack_block_params(cparams["params"])}
+    cache = snet.init_cache(2, dtype=jnp.float32)
+    assert cache["self"]["k"].shape[0] == 2  # stacked [L] leading axis
+    cross_kv = snet.apply(sparams, cond, method=snet.precompute_cross_kv)
+    assert cross_kv[0].shape[0] == 2
+    outs = []
+    for start in range(0, 4, 2):
+        o, cache = snet.apply(sparams, x[:, start:start + 2],
+                              t_inhom[:, start:start + 2], cache, start,
+                              condition=cond, cross_kv=cross_kv,
+                              method=snet.forward_chunk)
+        outs.append(o)
+    ar = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(ar), np.asarray(parallel),
+                               rtol=1e-4, atol=1e-5)
+    # without precomputed cross-KV (context recomputed per chunk) — the
+    # second scan variant
+    cache2 = snet.init_cache(2, dtype=jnp.float32)
+    o2, _ = snet.apply(sparams, x[:, :2], t_inhom[:, :2], cache2, 0,
+                       condition=cond, method=snet.forward_chunk)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(outs[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_store_kv_false_returns_no_cache(setup):
     """Denoise passes must not echo the cache through jit (a 6 GB copy at
     Wan-1.3B@480p scale) — store_kv=False returns None for the cache slot."""

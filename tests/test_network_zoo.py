@@ -193,6 +193,22 @@ def test_cosmos_teacher_sampler_v2w():
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_array_equal(
         np.asarray(out[:, 0]), np.asarray(cond["conditioning_latents"][:, 0]))
+    # conditioned frames are embedded at conditional_frame_timestep=0 (ref
+    # network.py:1229-1234); disabling it (negative) must change the
+    # *generated* frames (different AdaLN context for the attention source).
+    # AdaLN-zero kernels are exactly zero at init (t has no effect by
+    # design), so perturb the params away from init first.
+    params_p = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(KEY, p.shape, p.dtype), params)
+    out_cf = net.apply(params_p, noise, method=net.sample, condition=cond,
+                       neg_condition=cond, guidance_scale=2.0,
+                       num_steps=2, shift=5.0, skip_layers=(0,))
+    out_uniform = net.apply(params_p, noise, method=net.sample, condition=cond,
+                            neg_condition=cond, guidance_scale=2.0,
+                            num_steps=2, shift=5.0, skip_layers=(0,),
+                            conditional_frame_timestep=-1.0)
+    assert not np.allclose(np.asarray(out_cf[:, 1:]),
+                           np.asarray(out_uniform[:, 1:]))
 
 
 def test_wan_sampler_shift_grid_changes_output():
