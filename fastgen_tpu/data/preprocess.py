@@ -171,7 +171,9 @@ def preprocess_data(model, data: Dict[str, Any], augment_pipe=None,
     # ---- final dtype pass (ref trainer.py:473-474): device put happens at
     # shard_batch; here we only normalize floating dtypes
     def cast(v):
-        if hasattr(v, "dtype") and jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating):
+        # v.dtype directly: jnp.asarray(v) here would do an H2D transfer of
+        # the whole leaf just to inspect its dtype
+        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating):
             return jnp.asarray(v, model.precision)
         return v
 

@@ -50,6 +50,16 @@ def decode_member(name: str, data: bytes) -> Any:
     ext = name.split(".", 1)[1] if "." in name else ""
     ext = ext.rsplit(".", 1)[-1]
     if ext in ("jpg", "jpeg", "png", "webp"):
+        # native libjpeg/PNG decode first (GIL-free C, fastgen_tpu/native);
+        # anything it can't handle (webp, CMYK, palette PNG) rides PIL
+        try:
+            from fastgen_tpu import native
+
+            img = native.decode_image_rgb(data)
+            if img is not None:
+                return PIL.Image.fromarray(img)
+        except Exception:  # noqa: BLE001 - PIL fallback
+            pass
         return PIL.Image.open(io.BytesIO(data))
     if ext in ("txt", "text"):
         return data.decode("utf-8")

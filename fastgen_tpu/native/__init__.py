@@ -23,6 +23,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "zipreader.cpp")
+_SRCS = [_SRC, os.path.join(_DIR, "imgcodec.cpp")]
 _LIB_PATH = os.path.join(_DIR, "libfgnative.so")
 _lock = threading.Lock()
 _lib = None
@@ -30,13 +31,17 @@ _load_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-lz",
-           "-o", _LIB_PATH]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
-        return True
-    except Exception:  # noqa: BLE001 - no toolchain/zlib -> fall back
-        return False
+    # full build (zip/PNG + libjpeg codec), then a degraded zlib-only build
+    # if libjpeg/-dev is absent on this machine
+    for srcs, libs in ((_SRCS, ["-lz", "-ljpeg"]), ([_SRC], ["-lz"])):
+        cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17"] + srcs + libs
+               + ["-o", _LIB_PATH])
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+            return True
+        except Exception:  # noqa: BLE001 - try the next variant
+            continue
+    return False
 
 
 def _load():
@@ -44,9 +49,11 @@ def _load():
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.exists(_SRC)
-                and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)):
+        stale = not os.path.exists(_LIB_PATH) or any(
+            os.path.exists(s)
+            and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+            for s in _SRCS)
+        if stale:
             if not _build():
                 _load_failed = True
                 return None
@@ -77,12 +84,57 @@ def _load():
         lib.fg_zip_decode_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.fg_png_probe.restype = ctypes.c_int
+        lib.fg_png_probe.argtypes = [u8p, ctypes.c_int64, i32p, i32p]
+        lib.fg_png_decode_rgb.restype = ctypes.c_int
+        lib.fg_png_decode_rgb.argtypes = [u8p, ctypes.c_int64, u8p,
+                                          ctypes.c_int64]
+        # jpeg entry points exist only in the full (libjpeg) build
+        try:
+            lib.fg_jpeg_probe.restype = ctypes.c_int
+            lib.fg_jpeg_probe.argtypes = [u8p, ctypes.c_int64, i32p, i32p]
+            lib.fg_jpeg_decode_rgb.restype = ctypes.c_int
+            lib.fg_jpeg_decode_rgb.argtypes = [u8p, ctypes.c_int64, u8p,
+                                               ctypes.c_int64]
+        except AttributeError:
+            pass
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def decode_image_rgb(data: bytes) -> Optional[np.ndarray]:
+    """Decode in-memory PNG/JPEG bytes to [H, W, 3] uint8 via the native
+    codecs (GIL released), or None → caller falls back to PIL. Dispatch is
+    on magic bytes; dims come from a header probe first."""
+    lib = _load()
+    if lib is None or len(data) < 8:
+        return None
+    is_png = data[:8] == b"\x89PNG\r\n\x1a\n"
+    is_jpg = data[:2] == b"\xff\xd8"
+    if not (is_png or is_jpg):
+        return None
+    if is_jpg and not hasattr(lib, "fg_jpeg_probe"):
+        return None  # zlib-only degraded build
+    buf = np.frombuffer(data, np.uint8)
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    w = ctypes.c_int32(0)
+    h = ctypes.c_int32(0)
+    probe = lib.fg_png_probe if is_png else lib.fg_jpeg_probe
+    if probe(src, len(data), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    if w.value <= 0 or h.value <= 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    decode = lib.fg_png_decode_rgb if is_png else lib.fg_jpeg_decode_rgb
+    rc = decode(src, len(data),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+    return out if rc == 0 else None
 
 
 class NativeZipReader:

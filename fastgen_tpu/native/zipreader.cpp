@@ -305,4 +305,42 @@ int64_t fg_zip_decode_batch(void* h, const int64_t* indices, int64_t n,
   return n;
 }
 
+// ---- bytes-level PNG entry points (WDS tar members ride these; the zip
+// ones above keep their archive-handle fast path) ------------------------
+
+// Probe dims without decoding. Returns 0 and fills w/h, or negative.
+int fg_png_probe(const uint8_t* buf, int64_t len, int32_t* w, int32_t* h) {
+  static const uint8_t kSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (len < 33 || std::memcmp(buf, kSig, 8) != 0) return -1;
+  if (std::memcmp(buf + 12, "IHDR", 4) != 0) return -2;
+  *w = int32_t(rd32be(buf + 16));
+  *h = int32_t(rd32be(buf + 20));
+  return 0;
+}
+
+// Decode an in-memory PNG to RGB (gray broadcast, alpha dropped).
+// out must hold w*h*3 bytes (from fg_png_probe). Returns 0 or negative.
+int fg_png_decode_rgb(const uint8_t* buf, int64_t len, uint8_t* out_rgb,
+                      int64_t out_cap) {
+  std::vector<uint8_t> px;
+  uint32_t w, hh, ch;
+  int rc = png_decode(buf, size_t(len), &px, &w, &hh, &ch);
+  if (rc != 0) return rc;
+  const size_t n = size_t(w) * hh;
+  if (int64_t(n * 3) > out_cap) return -8;
+  if (ch == 3) {
+    std::memcpy(out_rgb, px.data(), n * 3);
+  } else if (ch == 1) {
+    for (size_t p = 0; p < n; p++)
+      out_rgb[p * 3] = out_rgb[p * 3 + 1] = out_rgb[p * 3 + 2] = px[p];
+  } else {  // RGBA
+    for (size_t p = 0; p < n; p++) {
+      out_rgb[p * 3] = px[p * 4];
+      out_rgb[p * 3 + 1] = px[p * 4 + 1];
+      out_rgb[p * 3 + 2] = px[p * 4 + 2];
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -93,3 +93,68 @@ def test_gray_dataset_stays_on_pil_path(tmp_path):
     img, _ = ds[0]
     assert img.shape == (16, 16, 1)
     assert ds.num_channels == 1
+
+
+# ---- bytes-level image codec (JPEG via libjpeg + PNG, data/wds.py path) ----
+
+def _encode(arr, fmt, **kw):
+    b = io.BytesIO()
+    PIL.Image.fromarray(arr).save(b, fmt, **kw)
+    return b.getvalue()
+
+
+@needs_native
+def test_decode_image_rgb_png_exact():
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 256, (37, 53, 3), np.uint8)
+    out = native.decode_image_rgb(_encode(img, "PNG"))
+    np.testing.assert_array_equal(out, img)
+    # grayscale broadcasts to RGB (the WDS path converts to RGB downstream)
+    g = img[..., 0]
+    out = native.decode_image_rgb(_encode(g, "PNG"))
+    np.testing.assert_array_equal(out, np.stack([g] * 3, -1))
+
+
+@needs_native
+def test_decode_image_rgb_jpeg_matches_pil():
+    if not native.decode_image_rgb(_encode(
+            np.zeros((8, 8, 3), np.uint8), "JPEG")) is not None:
+        pytest.skip("zlib-only degraded build (no libjpeg)")
+    rs = np.random.RandomState(1)
+    for shape in ((37, 53, 3), (64, 64, 3)):
+        img = rs.randint(0, 256, shape, np.uint8)
+        data = _encode(img, "JPEG", quality=92)
+        out = native.decode_image_rgb(data)
+        ref = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+        assert out.shape == ref.shape
+        # same libjpeg underneath: expect (near-)exact agreement
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+    # grayscale jpeg
+    g = rs.randint(0, 256, (24, 31), np.uint8)
+    data = _encode(g, "JPEG", quality=90)
+    out = native.decode_image_rgb(data)
+    ref = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+@needs_native
+def test_decode_image_rgb_rejects_garbage():
+    assert native.decode_image_rgb(b"\x00" * 32) is None
+    assert native.decode_image_rgb(b"\xff\xd8garbage-not-a-jpeg") is None
+    assert native.decode_image_rgb(b"") is None
+
+
+@needs_native
+def test_wds_decode_member_uses_native_with_parity():
+    from fastgen_tpu.data.wds import decode_member
+
+    rs = np.random.RandomState(2)
+    img = rs.randint(0, 256, (32, 32, 3), np.uint8)
+    data = _encode(img, "JPEG", quality=95)
+    out = decode_member("sample.jpg", data)
+    assert isinstance(out, PIL.Image.Image)
+    ref = np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(np.asarray(out).astype(int) - ref.astype(int)).max() <= 1
+    # png member
+    out = decode_member("sample.png", _encode(img, "PNG"))
+    np.testing.assert_array_equal(np.asarray(out), img)
