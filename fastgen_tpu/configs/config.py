@@ -191,6 +191,10 @@ class BaseTrainerConfig:
     # "net" for raw student params, or None = alphabetically-first EMA
     # (ref selects per-config via the wandb sample map)
     validation_ema: Optional[str] = None
+    # background batch prefetch depth (0 = fetch synchronously in the loop);
+    # the producer thread runs fetch -> preprocess -> H2D ahead of the step,
+    # key order identical to the synchronous loop (data/prefetch.py)
+    prefetch_batches: int = 2
 
     # parallelism surface parity flags; resolved into MeshConfig by the trainer
     ddp: bool = False

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from fastgen_tpu.callbacks.callback import CallbackDict
+from fastgen_tpu.data.prefetch import Prefetcher
 from fastgen_tpu.data.preprocess import preprocess_data
 from fastgen_tpu.parallel import mesh as mesh_lib
 from fastgen_tpu.parallel import sp as sp_lib
@@ -159,74 +160,97 @@ class Trainer:
                     f"(max {cfg.max_iter})")
 
         base_key = jax.random.PRNGKey(cfg.seed)
+
+        # background prefetch: fetch -> preprocess -> H2D runs a fixed number
+        # of batches ahead in a producer thread so the data path overlaps
+        # device compute. Key order is EXACTLY the sequential loop's —
+        # data-pipeline keys live in a disjoint fold_in domain (1<<20 + a)
+        # from the train-step keys (a) so augment/VAE noise never correlates
+        # with the step's noise/timestep draws.
+        def _batch_stream():
+            for it_ in range(iter_start + 1, cfg.max_iter + 1):
+                sk = jax.random.fold_in(base_key, it_)
+                for a in range(accum):
+                    yield self._fetch_batch(
+                        model, train_iter,
+                        jax.random.fold_in(sk, (1 << 20) + a))
+
+        depth = getattr(cfg, "prefetch_batches", 2)
+        batches = Prefetcher(_batch_stream(), depth=depth) if depth else None
+
+        def _next_batch(step_key, a):
+            if batches is not None:
+                return batches.get()
+            return self._fetch_batch(
+                model, train_iter, jax.random.fold_in(step_key, (1 << 20) + a))
+
         loss_map_host: Dict[str, Any] = {}
         outputs = None
         # resumed at/past max_iter -> loop body never runs; keep hooks valid
         iteration = iter_start
-        for iteration in range(iter_start + 1, cfg.max_iter + 1):
-            cb.on_training_step_begin(model, state=state, iteration=iteration)
-            phase = model.phase_for_iteration(iteration)
-            step_key = jax.random.fold_in(base_key, iteration)
+        try:
+            for iteration in range(iter_start + 1, cfg.max_iter + 1):
+                cb.on_training_step_begin(model, state=state, iteration=iteration)
+                phase = model.phase_for_iteration(iteration)
+                step_key = jax.random.fold_in(base_key, iteration)
 
-            _dbg = os.environ.get("FASTGEN_TRAINER_DEBUG")
-            if _dbg:
-                print(f"[dbg] iter {iteration} phase {phase} accum {accum}", flush=True)
-            # data-pipeline keys live in a disjoint fold_in domain (1<<20 + a)
-            # from the train-step keys (a) so augment/VAE noise never
-            # correlates with the step's noise/timestep draws
-            if accum == 1:
-                batch = self._fetch_batch(model, train_iter,
-                                          jax.random.fold_in(step_key, 1 << 20))
-                cb.on_training_accum_step_begin(model, state=state, iteration=iteration)
-                state, loss_map, outputs = train_steps[phase](state, batch, step_key)
-            else:
-                grads_sum = None
-                for a in range(accum):
-                    if _dbg:
-                        print(f"[dbg] fetch batch round {a}", flush=True)
-                    batch = self._fetch_batch(model, train_iter,
-                                              jax.random.fold_in(step_key, (1 << 20) + a))
-                    if _dbg:
-                        print(f"[dbg] got batch round {a}", flush=True)
-                    cb.on_training_accum_step_begin(model, state=state,
-                                                    iteration=iteration)
-                    akey = jax.random.fold_in(step_key, a)
-                    grads, loss_map, outputs = grad_steps[phase](state, batch, akey)
-                    if _dbg:
-                        print(f"[dbg] grad step done round {a}", flush=True)
-                    # apply non-trainable variable updates (e.g. f-distill
-                    # ratio bins) every microbatch, matching the reference's
-                    # per-round buffer updates (``f_distill.py:72-98``)
-                    var_updates = (outputs.pop("_variable_updates", None)
-                                   if isinstance(outputs, dict) else None)
-                    if var_updates:
-                        state = merge_var_step(state, var_updates)
-                    grads_sum = grads if grads_sum is None else jax.tree_util.tree_map(
-                        jnp.add, grads_sum, grads)
-                grads_sum = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
-                cb.on_optimizer_step_begin(model, state=state, iteration=iteration)
-                state = apply_steps[phase](state, grads_sum, None)
+                _dbg = os.environ.get("FASTGEN_TRAINER_DEBUG")
                 if _dbg:
-                    print(f"[dbg] apply done", flush=True)
+                    print(f"[dbg] iter {iteration} phase {phase} accum {accum}", flush=True)
+                if accum == 1:
+                    batch = _next_batch(step_key, 0)
+                    cb.on_training_accum_step_begin(model, state=state, iteration=iteration)
+                    state, loss_map, outputs = train_steps[phase](state, batch, step_key)
+                else:
+                    grads_sum = None
+                    for a in range(accum):
+                        if _dbg:
+                            print(f"[dbg] fetch batch round {a}", flush=True)
+                        batch = _next_batch(step_key, a)
+                        if _dbg:
+                            print(f"[dbg] got batch round {a}", flush=True)
+                        cb.on_training_accum_step_begin(model, state=state,
+                                                        iteration=iteration)
+                        akey = jax.random.fold_in(step_key, a)
+                        grads, loss_map, outputs = grad_steps[phase](state, batch, akey)
+                        if _dbg:
+                            print(f"[dbg] grad step done round {a}", flush=True)
+                        # apply non-trainable variable updates (e.g. f-distill
+                        # ratio bins) every microbatch, matching the reference's
+                        # per-round buffer updates (``f_distill.py:72-98``)
+                        var_updates = (outputs.pop("_variable_updates", None)
+                                       if isinstance(outputs, dict) else None)
+                        if var_updates:
+                            state = merge_var_step(state, var_updates)
+                        grads_sum = grads if grads_sum is None else jax.tree_util.tree_map(
+                            jnp.add, grads_sum, grads)
+                    grads_sum = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
+                    cb.on_optimizer_step_begin(model, state=state, iteration=iteration)
+                    state = apply_steps[phase](state, grads_sum, None)
+                    if _dbg:
+                        print(f"[dbg] apply done", flush=True)
 
-            # host-side scalars for logging (async fetch; blocks rarely)
-            loss_map_host = {k: v for k, v in loss_map.items()}
-            cb.on_training_step_end(model, state=state, data_batch=None,
-                                    loss_map=loss_map_host, outputs=outputs,
-                                    iteration=iteration)
+                # host-side scalars for logging (async fetch; blocks rarely)
+                loss_map_host = {k: v for k, v in loss_map.items()}
+                cb.on_training_step_end(model, state=state, data_batch=None,
+                                        loss_map=loss_map_host, outputs=outputs,
+                                        iteration=iteration)
 
-            if cfg.validation_iter and iteration % cfg.validation_iter == 0:
-                self.validate(model, state, iteration)
+                if cfg.validation_iter and iteration % cfg.validation_iter == 0:
+                    self.validate(model, state, iteration)
 
-            if cfg.save_ckpt_iter and iteration % cfg.save_ckpt_iter == 0:
-                self.save_checkpoint(model, state, iteration)
+                if cfg.save_ckpt_iter and iteration % cfg.save_ckpt_iter == 0:
+                    self.save_checkpoint(model, state, iteration)
 
-            if self.autoresume.termination_requested():
-                logger.info("Termination requested; saving and exiting")
-                self.save_checkpoint(model, state, iteration)
-                self.checkpointer.wait()
-                self.autoresume.request_resume()
-                break
+                if self.autoresume.termination_requested():
+                    logger.info("Termination requested; saving and exiting")
+                    self.save_checkpoint(model, state, iteration)
+                    self.checkpointer.wait()
+                    self.autoresume.request_resume()
+                    break
+        finally:
+            if batches is not None:
+                batches.stop()
 
         if os.environ.get("FASTGEN_TRAINER_DEBUG"):
             print("[dbg] loop done", flush=True)

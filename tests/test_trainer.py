@@ -108,3 +108,31 @@ def test_validation_strict_raises_and_ema_choice(config):
         trainer._validate_once(model, state, iteration=1)
     config.trainer.strict_validation = False
     trainer._validate_once(model, state, iteration=1)  # warns, no raise
+
+
+def test_prefetch_matches_synchronous(config):
+    """Background prefetch (default) trains bit-identically to the
+    synchronous loop — same key order, same batch order."""
+    import jax
+    import numpy as np
+
+    def run(prefetch, name):
+        config.log_config.name = name
+        config.trainer.prefetch_batches = prefetch
+        model = instantiate(config.model_class, config=config.model)
+        trainer = Trainer(config)
+        trainer.run(model)
+        trainer.checkpointer.wait()
+        state = model.prune_for_checkpoint(
+            model.init_state(jax.random.PRNGKey(config.trainer.seed)))
+        loaded, _, _ = trainer.checkpointer.load(state)
+        return loaded
+
+    a = run(2, "prefetch_on")
+    b = run(0, "prefetch_off")
+    fa = jax.tree_util.tree_leaves_with_path(a.params["net"])
+    fb = dict(jax.tree_util.tree_leaves_with_path(b.params["net"]))
+    for path, leaf in fa:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(fb[path]),
+                                      err_msg=jax.tree_util.keystr(path))
