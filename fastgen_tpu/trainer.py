@@ -32,7 +32,7 @@ from fastgen_tpu.parallel import mesh as mesh_lib
 from fastgen_tpu.parallel import sp as sp_lib
 from fastgen_tpu.utils import instantiate
 from fastgen_tpu.utils import logging_utils as logger
-from fastgen_tpu.utils.autoresume import NoOpAutoResume
+from fastgen_tpu.utils.autoresume import FileAutoResume
 from fastgen_tpu.utils.checkpointer import Checkpointer
 from fastgen_tpu.utils.global_vars import set_global_vars, temporary_global_vars
 
@@ -54,7 +54,12 @@ class Trainer:
             save_dir, max_to_keep=ckpt_cfg.max_to_keep,
             async_save=ckpt_cfg.async_save,
             s3_credential_path=ckpt_cfg.s3_credential or None)
-        self.autoresume = autoresume or NoOpAutoResume()
+        # FileAutoResume by default: touching the sentinel (default
+        # /tmp/fastgen_terminate, env FASTGEN_TERMINATE_SENTINEL) makes the
+        # run save a checkpoint and exit cleanly — the preemption contract
+        # the reference implements via its cluster's AutoResume lib
+        self.autoresume = autoresume or FileAutoResume()
+        self.autoresume.init()
         self.mesh = mesh_lib.mesh_from_trainer_config(config.trainer)
         jax.config.update("jax_default_matmul_precision",
                           config.trainer.matmul.matmul_precision)

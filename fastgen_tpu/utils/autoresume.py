@@ -49,7 +49,12 @@ class FileAutoResume(AutoResumeInterface):
             "FASTGEN_TERMINATE_SENTINEL", "/tmp/fastgen_terminate")
 
     def init(self) -> None:
-        pass
+        # a sentinel left behind by a previous stop must not kill the new
+        # run at iteration 1
+        try:
+            os.remove(self.sentinel_path)
+        except FileNotFoundError:
+            pass
 
     def get_resume_details(self):
         return None
