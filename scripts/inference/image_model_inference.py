@@ -5,8 +5,12 @@ trained checkpoint::
 
     python scripts/inference/image_model_inference.py \
         --config=<config.py> [--ckpt_dir=...] [--mode=student|teacher|both] \
-        [--num_samples=16] [--classes=0,1,2] [--steps=1] [--guidance_scale=3] \
+        [--num_samples=16] [--classes=0,1,2|<ids.txt>] [--steps=1] \
+        [--prompt="..."|--prompt_file=<prompts.txt>] [--guidance_scale=3] \
         [--outdir=samples] [--cpu] [- key=value ...]
+
+Prompt/class list assets ship in ``scripts/inference/prompts/`` (ref CLI
+defaults): ``image_prompts.txt``, ``classes.txt``.
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 from scripts.inference.inference_utils import (  # noqa: E402
-    init_model, load_state, save_image_grid, select_params)
+    init_model, load_prompt_file, load_state, save_image_grid, select_params)
 
 
 def parse_args():
@@ -34,9 +38,15 @@ def parse_args():
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--mode", default="student", choices=["student", "teacher", "both"])
     p.add_argument("--num_samples", type=int, default=16)
-    p.add_argument("--classes", default=None, help="comma-separated class ids")
+    p.add_argument("--classes", default=None,
+                   help="comma-separated class ids, or a file with one id "
+                        "per line (ref prompts/classes.txt)")
     p.add_argument("--prompt", default=None,
                    help="text prompt (encoded with the model's text_encoder)")
+    p.add_argument("--prompt_file", default=None,
+                   help="file with one prompt per line; generates one sample "
+                        "per line (ref CLI --prompt_file, e.g. "
+                        "scripts/inference/prompts/image_prompts.txt)")
     p.add_argument("--neg_prompt", default="",
                    help="negative prompt for CFG when --prompt is used")
     p.add_argument("--steps", type=int, default=None, help="student sample steps")
@@ -74,24 +84,33 @@ def main():
     print(f"Loaded checkpoint step {found_step}")
 
     key = jax.random.PRNGKey(args.seed)
-    n = args.num_samples
+    prompts = None
+    if args.prompt_file is not None:
+        prompts = load_prompt_file(args.prompt_file)
+    elif args.prompt is not None:
+        prompts = [args.prompt] * args.num_samples
+    n = len(prompts) if prompts is not None else args.num_samples
     noise = jax.random.normal(key, (n,) + tuple(config.model.input_shape),
                               model.precision)
 
     label_dim = getattr(model.net, "label_dim", 0)
     cond = neg = None
-    if args.prompt is not None:
+    if prompts is not None:
         if model.text_encoder is None:
             raise SystemExit("--prompt requires model.text_encoder in the config")
-        cond = model.text_encoder.encode([args.prompt] * n,
-                                         precision=model.precision)
+        cond = model.text_encoder.encode(prompts, precision=model.precision)
         neg = model.text_encoder.encode([args.neg_prompt] * n,
                                         precision=model.precision)
         if not isinstance(cond, dict):
             cond, neg = {"text_embeds": cond}, {"text_embeds": neg}
     elif label_dim:
         if args.classes:
-            ids = [int(c) for c in args.classes.split(",")]
+            if os.path.isfile(args.classes):
+                # class-id file, one id per line (ref prompts/classes.txt)
+                with open(args.classes) as f:
+                    ids = [int(ln) for ln in f if ln.strip()]
+            else:
+                ids = [int(c) for c in args.classes.split(",")]
             ids = (ids * ((n + len(ids) - 1) // len(ids)))[:n]
         else:
             ids = list(range(n))

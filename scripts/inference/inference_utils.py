@@ -10,6 +10,17 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__fi
 sys.path.insert(0, REPO_ROOT)
 
 
+def load_prompt_file(path: str):
+    """Read a prompt-list file: one prompt per line, blank lines and
+    ``#``-comments skipped (ref CLI ``--prompt_file`` assets under
+    ``scripts/inference/prompts/``)."""
+    with open(path) as f:
+        prompts = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+    if not prompts:
+        raise SystemExit(f"prompt file {path} has no prompts")
+    return prompts
+
+
 def init_model(config):
     """Instantiate the method object from a config (ref ``inference_utils.py:75``)."""
     from fastgen_tpu.utils import instantiate

@@ -80,3 +80,30 @@ def test_vae_scale_factors():
 
     assert vae_scale_factors(_V()) == (2, 4)
     assert vae_scale_factors(None) == (1, 1)
+
+
+def test_load_prompt_file(tmp_path):
+    from scripts.inference.inference_utils import load_prompt_file
+
+    p = tmp_path / "prompts.txt"
+    p.write_text("# a comment\nfirst prompt\n\n  second prompt  \n")
+    assert load_prompt_file(str(p)) == ["first prompt", "second prompt"]
+    (tmp_path / "empty.txt").write_text("# only comments\n\n")
+    with pytest.raises(SystemExit):
+        load_prompt_file(str(tmp_path / "empty.txt"))
+
+
+def test_shipped_prompt_assets_parse():
+    """The prompts/ asset files (ref scripts/inference/prompts/) all load."""
+    from scripts.inference.inference_utils import load_prompt_file
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "scripts", "inference", "prompts")
+    for name in ("image_prompts.txt", "validation_video_prompts.txt",
+                 "negative_prompt.txt", "negative_prompt_cosmos.txt",
+                 "classes.txt", "source_image_paths.txt",
+                 "source_video_paths.txt"):
+        prompts = load_prompt_file(os.path.join(root, name))
+        assert prompts
+    assert [int(c) for c in load_prompt_file(
+        os.path.join(root, "classes.txt"))] == list(range(10))
