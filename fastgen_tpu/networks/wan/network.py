@@ -531,20 +531,46 @@ class WanVideoDiT(FastGenNetwork):
                     "feature_indices/skip_layers need per-block access; "
                     "use scan_blocks=False for discriminator taps and SLG")
 
-            def _body(blk, carry, tp_, ctx_, cos_, sin_):
-                y, _ = blk(carry, tp_, ctx_, (cos_, sin_), frame_seqlen,
-                           causal_block=causal_block)
-                return shard_seq(y), None
+            from fastgen_tpu.parallel import pp as pp_lib
 
-            if self.remat:
-                # prevent_cse=False: lax.scan's loop body is already a CSE
-                # barrier, and it lets XLA fuse the block cleanly
-                _body = nn.remat(_body, prevent_cse=False)
-            scan = nn.scan(_body, variable_axes={"params": 0},
-                           split_rngs={"params": True},
-                           in_axes=(nn.broadcast,) * 4,
-                           length=self.num_layers)
-            x, _ = scan(self.block_stack, x, timestep_proj, context, cos, sin)
+            pp = pp_lib.pp_size()
+            if (pp > 1 and not self.is_initializing()
+                    and self.num_layers % pp == 0):
+                # pipeline parallelism (parallel/pp.py): the stacked block
+                # params already carry the leading [L] layer axis the GPipe
+                # schedule shards per stage; microbatches flow stage-to-stage
+                # over neighbor ppermute hops. Registered via
+                # pp_lib.set_active_mesh; exact same math as the scan below.
+                stacked = self.variables["params"]["blocks"]
+                block = self.block_stack.clone()
+
+                def _one(p, x_, tp_, ctx_, cos_, sin_):
+                    y, _ = block.apply({"params": p}, x_, tp_, ctx_,
+                                       (cos_, sin_), frame_seqlen,
+                                       causal_block=causal_block)
+                    return y
+
+                x = pp_lib.pipeline_blocks(
+                    pp_lib.chunk_scan(_one), stacked, x, cos, sin,
+                    batched=(timestep_proj, context),
+                    mesh=pp_lib.get_active_mesh(),
+                    num_microbatches=pp_lib.auto_microbatches(x.shape[0], pp))
+            else:
+                def _body(blk, carry, tp_, ctx_, cos_, sin_):
+                    y, _ = blk(carry, tp_, ctx_, (cos_, sin_), frame_seqlen,
+                               causal_block=causal_block)
+                    return shard_seq(y), None
+
+                if self.remat:
+                    # prevent_cse=False: lax.scan's loop body is already a CSE
+                    # barrier, and it lets XLA fuse the block cleanly
+                    _body = nn.remat(_body, prevent_cse=False)
+                scan = nn.scan(_body, variable_axes={"params": 0},
+                               split_rngs={"params": True},
+                               in_axes=(nn.broadcast,) * 4,
+                               length=self.num_layers)
+                x, _ = scan(self.block_stack, x, timestep_proj, context,
+                            cos, sin)
         else:
             for idx, block in enumerate(self.blocks):
                 if skip_layers is not None and idx in skip_layers:

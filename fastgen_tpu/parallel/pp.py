@@ -50,6 +50,38 @@ except ImportError:  # pragma: no cover - older jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+_ACTIVE_MESH = None
+
+
+def set_active_mesh(mesh) -> None:
+    """Register the pipeline mesh that ``scan_blocks`` networks route their
+    block stack through (mirrors ``parallel.sp.set_active_mesh``). Pass a
+    mesh with a ``pp`` axis >1 to enable; ``None`` to disable."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh():
+    return _ACTIVE_MESH
+
+
+def pp_size() -> int:
+    m = _ACTIVE_MESH
+    if m is None:
+        return 1
+    return int(dict(m.shape).get("pp", 1))
+
+
+def auto_microbatches(batch: int, pp: int, target_factor: int = 4) -> int:
+    """Largest divisor of ``batch`` that is <= target_factor*pp (bubble
+    fraction (pp-1)/(M+pp-1)); at least 1."""
+    cap = max(target_factor * pp, 1)
+    for m in range(min(batch, cap), 0, -1):
+        if batch % m == 0:
+            return m
+    return 1
+
+
 def chunk_scan(single_block_apply: Callable[..., Any]) -> Callable[..., Any]:
     """Lift a single-block apply ``fn(params_one, x, *bcast) -> x`` to a
     stage apply over a ``[L_stage, ...]``-stacked params chunk (sequential

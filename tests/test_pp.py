@@ -127,3 +127,38 @@ class TestPipelineBlocks:
                                 mesh=_pp_mesh(2), num_microbatches=2)
         np.testing.assert_allclose(np.asarray(piped), np.asarray(serial),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestWanModelPipeline:
+    def test_wan_videodit_pp_forward_parity(self):
+        """Full WanVideoDiT forward with the pp mesh active == without."""
+        from fastgen_tpu.networks.wan.network import WanVideoDiT
+        from fastgen_tpu.parallel import pp as pp_lib
+
+        net = WanVideoDiT(dim=24, num_layers=4, num_heads=2, ffn_dim=48,
+                          in_channels=4, out_channels=4, text_dim=16,
+                          freq_dim=32, rope_max_seq_len=16, scan_blocks=True,
+                          attn_impl="xla")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 4, 4, 4))
+        t = jnp.full((2,), 0.6)
+        cond = {"text_embeds": jax.random.normal(jax.random.PRNGKey(1),
+                                                 (2, 3, 16))}
+        params = net.init(jax.random.PRNGKey(2), x, t, condition=cond)
+        ref = net.apply(params, x, t, condition=cond)
+        try:
+            pp_lib.set_active_mesh(_pp_mesh(2))
+            piped = net.apply(params, x, t, condition=cond)
+        finally:
+            pp_lib.set_active_mesh(None)
+        np.testing.assert_allclose(np.asarray(piped), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_auto_microbatches(self):
+        from fastgen_tpu.parallel.pp import auto_microbatches
+
+        assert auto_microbatches(16, 2) == 8
+        assert auto_microbatches(6, 2) == 6
+        assert auto_microbatches(5, 2) == 5
+        assert auto_microbatches(7, 4) == 7
+        assert auto_microbatches(1, 8) == 1
+        assert auto_microbatches(64, 2) == 8
