@@ -102,6 +102,78 @@ def iter_tar_samples(path: str) -> Iterator[Dict[str, Any]]:
             yield sample
 
 
+class ShardWriter:
+    """Numbered-tar WDS shard writer — the in-tree counterpart of the
+    external ``webdataset.ShardWriter`` the reference points users at
+    (``fastgen/datasets/README.md`` "Preparing Your Data"). Produces exactly
+    the layout ``iter_tar_samples``/``WDSLoader`` read back::
+
+        with ShardWriter("shards/", shard_size=1000) as w:
+            w.write("00000042", {"latent.npy": arr, "txt": "a caption"})
+
+    Value encoding by member suffix: ``np.ndarray`` -> .npy bytes (or .npz
+    for a dict of arrays), ``str`` -> utf-8, ``dict`` -> json, ``bytes``
+    passthrough (already-encoded media like jpg/mp4).
+    """
+
+    def __init__(self, out_dir: str, shard_size: int = 1000,
+                 pattern: str = "{:05d}.tar"):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.shard_size = shard_size
+        self.pattern = pattern
+        self._tar: Optional[tarfile.TarFile] = None
+        self._shard_idx = 0
+        self._in_shard = 0
+        self.num_samples = 0
+
+    @staticmethod
+    def _encode(name: str, value: Any) -> bytes:
+        if isinstance(value, bytes):
+            return value
+        if isinstance(value, str):
+            return value.encode("utf-8")
+        if isinstance(value, dict):
+            if name.endswith(".npz"):
+                buf = io.BytesIO()
+                np.savez(buf, **{k: np.asarray(v) for k, v in value.items()})
+                return buf.getvalue()
+            return json.dumps(value).encode("utf-8")
+        arr = np.asarray(value)
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return buf.getvalue()
+
+    def write(self, key: str, members: Dict[str, Any]) -> None:
+        if self._tar is None:
+            path = os.path.join(self.out_dir,
+                                self.pattern.format(self._shard_idx))
+            self._tar = tarfile.open(path, "w")
+            self._in_shard = 0
+        for suffix, value in members.items():
+            data = self._encode(suffix, value)
+            info = tarfile.TarInfo(f"{key}.{suffix}")
+            info.size = len(data)
+            self._tar.addfile(info, io.BytesIO(data))
+        self._in_shard += 1
+        self.num_samples += 1
+        if self._in_shard >= self.shard_size:
+            self._tar.close()
+            self._tar = None
+            self._shard_idx += 1
+
+    def close(self) -> None:
+        if self._tar is not None:
+            self._tar.close()
+            self._tar = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def resolve_datatags(datatags: List[str]) -> List[str]:
     """'WDS:<dir-or-glob>' -> sorted shard paths (deterministic order)."""
     shards: List[str] = []

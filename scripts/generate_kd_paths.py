@@ -30,10 +30,8 @@ therefore aligns with ``sample_t_cfg.t_list`` exactly as ``KDModel``'s
 from __future__ import annotations
 
 import argparse
-import io
 import os
 import sys
-import tarfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -70,14 +68,6 @@ def parse_args():
                    help="sample the EMA weights instead of the raw teacher")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv), overrides
-
-
-def _npy_bytes(arr):
-    import numpy as np
-
-    buf = io.BytesIO()
-    np.save(buf, np.asarray(arr))
-    return buf.getvalue()
 
 
 def make_rollout(net, params, t_list, guidance_scale: float = 0.0):
@@ -157,13 +147,14 @@ def main():
     if prompts is not None and model.text_encoder is None:
         raise SystemExit("--prompt_file requires model.text_encoder")
 
-    os.makedirs(args.out, exist_ok=True)
+    from fastgen_tpu.data.wds import ShardWriter
+
     key = jax.random.PRNGKey(args.seed)
     shape = tuple(config.model.input_shape)
-    written, shard_idx, tar = 0, 0, None
+    written = 0
     input_dtype = getattr(model, "precision", jnp.float32)
 
-    try:
+    with ShardWriter(args.out, shard_size=args.shard_size) as writer:
         while written < args.num_samples:
             n = min(args.batch_size, args.num_samples - written)
             key, kn, kc = jax.random.split(key, 3)
@@ -184,31 +175,19 @@ def main():
                 cond = None
 
             x0, path = jax.device_get(rollout(noise, cond, neg))
-            cond_np = np.asarray(cond) if cond is not None else \
+            # text encoders may return {"text_embeds": ...}; the WDS loader
+            # delivers the raw array (nets accept either form)
+            cond_arr = cond.get("text_embeds") if isinstance(cond, dict) else cond
+            cond_np = np.asarray(cond_arr) if cond_arr is not None else \
                 np.zeros((n, 1), np.float32)
 
             for j in range(n):
-                if tar is None:
-                    tar = tarfile.open(
-                        os.path.join(args.out, f"{shard_idx:05d}.tar"), "w")
-                i = written + j
-                for suffix, arr in (("latent.npy", x0[j]),
-                                    ("path.npy", path[j]),
-                                    ("noise.npy", path[j][0]),
-                                    ("txt_emb.npy", cond_np[j])):
-                    data = _npy_bytes(arr)
-                    info = tarfile.TarInfo(f"{i:08d}.{suffix}")
-                    info.size = len(data)
-                    tar.addfile(info, io.BytesIO(data))
-                if (i + 1) % args.shard_size == 0:
-                    tar.close()
-                    tar = None
-                    shard_idx += 1
+                writer.write(f"{written + j:08d}",
+                             {"latent.npy": x0[j], "path.npy": path[j],
+                              "noise.npy": path[j][0],
+                              "txt_emb.npy": cond_np[j]})
             written += n
             print(f"{written}/{args.num_samples}")
-    finally:
-        if tar is not None:
-            tar.close()
     print(f"wrote {written} trajectories ({args.steps} steps) -> {args.out}")
 
 

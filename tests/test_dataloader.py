@@ -548,3 +548,77 @@ class TestVideoWDS:
                                 key_map={"real": "mp4"}, prefetch=0)
         with pytest.raises(NotImplementedError):
             next(iter(loader))
+
+
+class TestShardWriter:
+    """ShardWriter (data/wds.py): the in-tree webdataset.ShardWriter
+    equivalent must round-trip through iter_tar_samples/WDSLoader."""
+
+    def test_roundtrip_and_sharding(self, tmp_path):
+        from fastgen_tpu.data.wds import ShardWriter, iter_tar_samples
+
+        rs = np.random.RandomState(0)
+        arrs = [rs.randn(3, 4).astype(np.float32) for _ in range(5)]
+        with ShardWriter(str(tmp_path), shard_size=2) as w:
+            for i, a in enumerate(arrs):
+                w.write(f"{i:08d}", {"latent.npy": a, "txt": f"caption {i}",
+                                     "meta.json": {"idx": i},
+                                     "stats.npz": {"mu": a.mean(0)}})
+        import os
+
+        shards = sorted(os.listdir(tmp_path))
+        assert shards == ["00000.tar", "00001.tar", "00002.tar"]
+
+        seen = []
+        for shard in shards:
+            for s in iter_tar_samples(str(tmp_path / shard)):
+                i = int(s["__key__"])
+                np.testing.assert_array_equal(s["latent.npy"], arrs[i])
+                assert s["txt"] == f"caption {i}"
+                assert s["meta.json"]["idx"] == i
+                np.testing.assert_allclose(s["stats.npz"]["mu"],
+                                           arrs[i].mean(0), rtol=1e-6)
+                seen.append(i)
+        assert seen == list(range(5))
+
+    def test_loader_reads_written_shards(self, tmp_path):
+        from fastgen_tpu.data.wds import ShardWriter, WDSLoader
+
+        with ShardWriter(str(tmp_path)) as w:
+            for i in range(4):
+                w.write(f"{i:08d}", {"latent.npy": np.full((2, 2), i, np.float32),
+                                     "txt_emb.npy": np.arange(3, dtype=np.float32)})
+        loader = WDSLoader(datatags=[f"WDS:{tmp_path}"], batch_size=4,
+                           key_map={"real": "latent.npy",
+                                    "condition": "txt_emb.npy"})
+        batch = next(iter(loader))
+        assert batch["real"].shape == (4, 2, 2)
+        assert batch["condition"].shape == (4, 3)
+
+    def test_pack_wds_cli(self, tmp_path):
+        """scripts/pack_wds.py groups files by stem into shards."""
+        import os
+        import subprocess
+        import sys as _sys
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for i in range(3):
+            np.save(src / f"s{i}.latent.npy", np.full((2,), i, np.float32))
+            (src / f"s{i}.txt").write_text(f"cap {i}")
+        out = tmp_path / "shards"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts", "pack_wds.py"),
+             "--src", str(src), "--out", str(out), "--shard_size", "2"],
+            capture_output=True, text=True,
+            env={**os.environ, "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr
+        from fastgen_tpu.data.wds import iter_tar_samples
+
+        samples = [s for shard in sorted(os.listdir(out))
+                   for s in iter_tar_samples(str(out / shard))]
+        assert [s["__key__"] for s in samples] == ["s0", "s1", "s2"]
+        assert samples[1]["txt"] == "cap 1"
+        np.testing.assert_array_equal(samples[2]["latent.npy"],
+                                      np.full((2,), 2, np.float32))
