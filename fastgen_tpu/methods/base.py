@@ -273,8 +273,14 @@ class FastGenModel:
             else:
                 logger.warning(f"grad_clip configured for unknown net {key!r}")
 
-    def init_state(self, rng) -> MethodState:
-        """Initialize all params / optimizer states / EMA copies."""
+    def init_state(self, rng, load_pretrained: bool = True) -> MethodState:
+        """Initialize all params / optimizer states / EMA copies.
+
+        ``load_pretrained=False`` skips ``pretrained_model_path`` resolution —
+        eval tools (FID sweeps, inference) that restore a full checkpoint
+        immediately after only need the state *template*, and must not crash
+        on a training-time teacher path that no longer exists.
+        """
         if not self.txs:
             self.init_optimizers()
         self._finalize_optimizers()
@@ -287,7 +293,8 @@ class FastGenModel:
 
         # pretrained teacher/student weights from torch checkpoints
         # (ref ``model.py:176-238`` build_teacher + load_student_weights_and_ema)
-        params = self._load_pretrained(params)
+        if load_pretrained:
+            params = self._load_pretrained(params)
 
         # teacher-seeded nets (e.g. fake_score starts from teacher weights)
         params = self.post_init_params(params)

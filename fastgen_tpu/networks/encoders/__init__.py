@@ -19,8 +19,10 @@ from fastgen_tpu.networks.encoders.clip import (
 from fastgen_tpu.networks.encoders.t5 import T5Encoder, convert_t5
 from fastgen_tpu.networks.encoders.vae import AutoencoderKL, convert_autoencoder_kl
 from fastgen_tpu.networks.encoders.video_vae import CausalVideoVAE
+from fastgen_tpu.networks.encoders.qwen25 import Qwen25TextModel, convert_qwen25
 from fastgen_tpu.networks.encoders.wrappers import (
     CogVideoXTextEncoder,
+    CosmosTextEncoder,
     FluxTextEncoder,
     HashTokenizer,
     SDXLTextEncoder,
@@ -38,6 +40,7 @@ __all__ = [
     "T5Encoder", "convert_t5",
     "AutoencoderKL", "convert_autoencoder_kl",
     "CausalVideoVAE",
+    "Qwen25TextModel", "convert_qwen25", "CosmosTextEncoder",
     "StableDiffusionTextEncoder", "SDXLTextEncoder", "FluxTextEncoder",
     "T5TextEncoder", "WanTextEncoder", "CogVideoXTextEncoder",
     "WanImageEncoder", "VAEWrapper", "VideoVAEWrapper", "HashTokenizer",

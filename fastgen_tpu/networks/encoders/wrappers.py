@@ -407,3 +407,87 @@ class WanImageEncoder(FrozenEncoder):
         std = jnp.asarray([0.26862954, 0.26130258, 0.27577711], images.dtype)
         images = ((images + 1.0) / 2.0 - mean) / std
         return self._apply(self.params, images).astype(precision or self.dtype)
+
+
+class CosmosTextEncoder(FrozenEncoder):
+    """Cosmos-Reason1-7B (Qwen2.5-VL text path) as a frozen prompt encoder
+    (ref ``CosmosPredict2TextEncoder``,
+    ``fastgen/networks/cosmos_predict2/network.py:507-690``): run the LM with
+    all hidden states, mean-normalize each layer's output and combine
+    (default ``full_concat`` -> [B, T, num_layers*hidden] = 100,352-dim for
+    the 7B config); the Cosmos DiT's ``crossattn_proj`` projects these to its
+    text dim in-network.
+
+    The reference wraps each prompt in a fixed chat conversation before
+    tokenizing; with a real tokenizer directory (``tokenizer_path``) the same
+    chat template is applied when available, else prompts are encoded plain.
+    """
+
+    SYSTEM_PROMPT = ("You are a helpful assistant who will provide prompts "
+                     "to an image generator.")
+
+    def __init__(self, params=None, tokenizer_path: Optional[str] = None,
+                 pretrained_path: Optional[str] = None, max_length: int = 512,
+                 embedding_concat_strategy: str = "full_concat",
+                 n_layers_per_group: int = 5, dtype=jnp.bfloat16,
+                 allow_hash_tokenizer: Optional[bool] = None, **module_kw):
+        self.allow_hash = allow_hash_tokenizer
+        from fastgen_tpu.networks.encoders.qwen25 import (
+            Qwen25TextModel, combine_hidden_states, convert_qwen25)
+
+        module = Qwen25TextModel(**module_kw)
+        if params is None and pretrained_path:
+            from fastgen_tpu.utils.torch_convert import load_torch_state_dict
+            params = convert_qwen25(load_torch_state_dict(pretrained_path))["params"]
+        super().__init__(module, params, dtype=dtype)
+        self.max_length = max_length
+        self.strategy = embedding_concat_strategy
+        self.tokenizer = load_hf_tokenizer(tokenizer_path) if tokenizer_path else None
+        if self.tokenizer is not None and self.tokenizer.pad_token is None:
+            self.tokenizer.pad_token = self.tokenizer.eos_token
+
+        def apply(p, ids, mask):
+            _, hidden_states = self.module.apply({"params": p}, ids, mask)
+            return combine_hidden_states(hidden_states, self.strategy,
+                                         n_layers_per_group)
+
+        self._apply = jax.jit(apply)
+
+    @property
+    def embedding_dim(self) -> int:
+        m = self.module
+        if self.strategy == "full_concat":
+            return m.num_layers * m.hidden
+        if self.strategy == "mean_pooling":
+            return m.hidden
+        n_groups = -(-m.num_layers // 5)
+        return n_groups * m.hidden
+
+    def _ids(self, prompts):
+        tok = self.tokenizer
+        if tok is not None and getattr(tok, "chat_template", None):
+            ids_batch = []
+            pad_id = tok.pad_token_id or 0
+            for prompt in prompts:
+                conv = [{"role": "system", "content": self.SYSTEM_PROMPT},
+                        {"role": "user", "content": prompt}]
+                ids = tok.apply_chat_template(conv, tokenize=True,
+                                              add_generation_prompt=False)
+                ids = list(ids)[:self.max_length]
+                ids += [pad_id] * (self.max_length - len(ids))
+                ids_batch.append(ids)
+            ids = np.asarray(ids_batch, np.int32)
+            # ref encodes with no attention mask (pads attend causally too);
+            # mirror that so embeddings match the torch path bit-for-bit
+            mask = np.ones_like(ids)
+            return ids, mask
+        return _tokenize(self.tokenizer, prompts, self.module.vocab_size,
+                         self.max_length, allow_hash=self.allow_hash)
+
+    def encode(self, prompts: Sequence[str], precision=None):
+        ids, mask = self._ids(list(prompts))
+        emb = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return emb.astype(precision or self.dtype)
+
+
+CosmosPredict2TextEncoder = CosmosTextEncoder

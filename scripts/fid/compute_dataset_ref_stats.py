@@ -49,7 +49,11 @@ def main():
     detector = get_detector(args.detector, args.detector_path)
     mu, sigma = calculate_inception_stats(batches(), detector)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    np.savez(args.out, mu=mu, sigma=sigma)
+    # atomic write: a timeout mid-save must not leave a corrupt npz the
+    # pipeline's [ ! -f ] guard would later treat as valid reference stats
+    tmp = args.out + ".tmp.npz"
+    np.savez(tmp, mu=mu, sigma=sigma)
+    os.replace(tmp, args.out)
     print(f"wrote mu/sigma over {n} images -> {args.out}")
 
 

@@ -67,6 +67,11 @@ def main():
         import_config_from_python_file, override_config_with_opts)
     from fastgen_tpu.utils.checkpointer import Checkpointer
 
+    if not os.path.exists(args.ref):
+        raise SystemExit(f"--ref stats npz not found: {args.ref} — run "
+                         "scripts/fid/compute_dataset_ref_stats.py first "
+                         "(validated up front so a missing ref cannot waste "
+                         "the whole sampling budget)")
     config = import_config_from_python_file(args.config)
     override_config_with_opts(config, overrides)
     # the eval protocol block is the config-side default (ref config.eval,
@@ -78,9 +83,12 @@ def main():
     if args.max_ckpt is None:
         args.max_ckpt = config.eval.max_ckpt
     model = init_model(config)
-    # checkpoints exclude frozen nets (teacher/cm_teacher) — prune the template
+    # checkpoints exclude frozen nets (teacher/cm_teacher) — prune the
+    # template. load_pretrained=False: a full checkpoint restore follows, so
+    # the training-time pretrained teacher path must not be required here.
     state_template = model.prune_for_checkpoint(
-        model.init_state(jax.random.PRNGKey(config.trainer.seed)))
+        model.init_state(jax.random.PRNGKey(config.trainer.seed),
+                         load_pretrained=False))
 
     save_dir = args.ckpt_dir or os.path.join(config.log_config.save_path,
                                              config.trainer.checkpointer.save_dir)

@@ -75,27 +75,58 @@ class FlaxInceptionDetector:
             # BN stats are calibrated on seeded noise images: without this,
             # 90+ random conv layers collapse activations to near-constants
             # and every distribution scores FID ~0.
-            import jax.numpy as jnp
-
-            from fastgen_tpu.networks.inception import (_calibration,
-                                                        apply_calibration)
-
             seed = int(path.split(":", 1)[1] or 0)
-            key = jax.random.PRNGKey(seed)
-            # jit the init + calibration passes: eager flax dispatches each op
-            # separately, which is unusably slow through a remote-TPU tunnel
-            variables = jax.jit(
-                lambda k: net.init(k, jnp.zeros((1, 299, 299, 3))))(key)
-            calib_imgs = jax.random.uniform(
-                jax.random.fold_in(key, 1), (32, 299, 299, 3),
-                minval=-1.0, maxval=1.0)
-            with _calibration():
-                (feats, _), aux = jax.jit(
-                    lambda v, x: net.apply(v, x, mutable=["calib"]))(
-                        variables, calib_imgs)
-            self.variables = apply_calibration(variables, aux["calib"])
-            # unit-scale the feature space so FID magnitudes are O(1..100)
-            self._feat_scale = float(np.asarray(feats).std()) or 1.0
+            # the init + calibration jits cost minutes of compile time on a
+            # tunneled TPU — cache the calibrated variables to disk so every
+            # pipeline stage after the first pays only the forward compile
+            cache_dir = os.path.join(
+                os.environ.get("FASTGEN_OUTPUT_ROOT", "FASTGEN_OUTPUT"),
+                "DATA", "detector_cache")
+            cache_file = os.path.join(cache_dir, f"randnet_{seed}.pkl")
+            if os.path.exists(cache_file):
+                import pickle
+
+                with open(cache_file, "rb") as f:
+                    cached = pickle.load(f)
+                self.variables = cached["variables"]
+                self._feat_scale = cached["feat_scale"]
+            else:
+                import jax.numpy as jnp
+
+                from fastgen_tpu.networks.inception import (_calibration,
+                                                            apply_calibration)
+
+                key = jax.random.PRNGKey(seed)
+                # jit the init + calibration passes: eager flax dispatches
+                # each op separately, unusably slow through a remote tunnel
+                variables = jax.jit(
+                    lambda k: net.init(k, jnp.zeros((1, 299, 299, 3))))(key)
+                calib_imgs = jax.random.uniform(
+                    jax.random.fold_in(key, 1), (32, 299, 299, 3),
+                    minval=-1.0, maxval=1.0)
+                with _calibration():
+                    (feats, _), aux = jax.jit(
+                        lambda v, x: net.apply(v, x, mutable=["calib"]))(
+                            variables, calib_imgs)
+                self.variables = apply_calibration(variables, aux["calib"])
+                # unit-scale the feature space: FID magnitudes O(1..100)
+                self._feat_scale = float(np.asarray(feats).std()) or 1.0
+                try:
+                    import pickle
+
+                    import jax as _jax
+
+                    os.makedirs(cache_dir, exist_ok=True)
+                    host_vars = _jax.tree_util.tree_map(np.asarray,
+                                                        self.variables)
+                    tmp = cache_file + ".tmp"
+                    with open(tmp, "wb") as f:
+                        pickle.dump({"variables": host_vars,
+                                     "feat_scale": self._feat_scale}, f)
+                    os.replace(tmp, cache_file)
+                except Exception as e:  # noqa: BLE001 - cache is best-effort
+                    print(f"[fid] detector cache write failed: {e}",
+                          file=sys.stderr)
         elif not path or not os.path.exists(path):
             raise FileNotFoundError(
                 "InceptionV3 weights not found; set FID_INCEPTION_PATH or "

@@ -115,7 +115,11 @@ def main():
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     labels = []
-    with zipfile.ZipFile(args.out, "w", zipfile.ZIP_STORED) as z:
+    # atomic: a timeout mid-write must not leave a truncated zip that later
+    # stages silently consume (the [ ! -f ] guards in the pipeline scripts
+    # would treat a corrupt partial file as done)
+    tmp_out = args.out + ".tmp"
+    with zipfile.ZipFile(tmp_out, "w", zipfile.ZIP_STORED) as z:
         for i in range(args.num):
             cls = i % args.classes
             rs = np.random.RandomState((args.seed + 7919 * i) % (1 << 31))
@@ -128,6 +132,7 @@ def main():
             if (i + 1) % 5000 == 0:
                 print(f"{i + 1}/{args.num}")
         z.writestr("dataset.json", json.dumps({"labels": labels}))
+    os.replace(tmp_out, args.out)
     print(f"wrote {args.num} images -> {args.out}")
 
 
