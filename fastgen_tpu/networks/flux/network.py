@@ -25,21 +25,30 @@ from fastgen_tpu.ops.schedules import NET_PRED_TYPES
 
 
 def _rope_2d(head_dim: int, h: int, w: int, txt_len: int, theta: float = 10000.0):
-    """Flux RoPE: head_dim split across (txt-id=0, y, x); text tokens get
-    position 0 (no rotation)."""
-    d_half = head_dim // 2
-    d_y = d_half // 2
-    d_x = d_half - d_y
-
-    def table(d, positions):
-        freqs = 1.0 / theta ** (np.arange(d, dtype=np.float64) / d)
-        return np.outer(positions, freqs)
+    """Flux RoPE, diffusers ``FluxPosEmbed``-exact: head_dim splits across
+    the THREE id axes ``axes_dim=(d/8, 7d/16, 7d/16)`` (=(16, 56, 56) at
+    head_dim 128) with per-axis frequencies ``1/theta^(arange(0,d_i,2)/d_i)``;
+    token ids are (0, y, x) for image tokens and all-zero for text tokens, so
+    the first-axis dims rotate by angle 0 everywhere. Pinned against a torch
+    replica in ``tests/test_converter_replicas.py`` — the frequency layout is
+    what real Flux checkpoints were trained with."""
+    d_id = head_dim // 8
+    d_rest = (head_dim - d_id) // 2
+    assert d_id % 2 == 0 and d_rest % 2 == 0 and d_id + 2 * d_rest == head_dim, (
+        f"head_dim {head_dim} must split into even RoPE axes (e.g. 128 -> "
+        f"16/56/56); got id={d_id}, y/x={d_rest}")
+    axes_dim = (d_id, d_rest, d_rest)
 
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    ang_y = table(d_y, ys.reshape(-1))
-    ang_x = table(d_x, xs.reshape(-1))
-    img_ang = np.concatenate([ang_y, ang_x], axis=-1)  # [HW, d_half]
-    txt_ang = np.zeros((txt_len, d_half))
+    n_img = h * w
+    positions = (np.zeros(n_img), ys.reshape(-1), xs.reshape(-1))
+
+    ang_parts = []
+    for d, pos in zip(axes_dim, positions):
+        freqs = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+        ang_parts.append(np.outer(pos, freqs))            # [HW, d/2]
+    img_ang = np.concatenate(ang_parts, axis=-1)          # [HW, head_dim/2]
+    txt_ang = np.zeros((txt_len, head_dim // 2))
     ang = np.concatenate([txt_ang, img_ang], axis=0)
     return jnp.asarray(np.cos(ang), jnp.float32), jnp.asarray(np.sin(ang), jnp.float32)
 

@@ -92,14 +92,17 @@ class CrossAttnBlock(nn.Module):
             out = dot_product_attention(q, k, v, impl=self.attn_impl)
             return nn.Dense(self.dim, name=f"{name}_out")(out.reshape(b, n, self.dim))
 
-        h = nn.LayerNorm(name="norm1")(x)
+        # eps 1e-5 / exact gelu: diffusers BasicTransformerBlock's LayerNorm
+        # keeps the torch default eps and GEGLU uses exact (non-tanh) gelu —
+        # pinned by the replica parity test (tests/test_converter_replicas.py)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + mha(h, h, "attn1")
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         x = x + mha(h, context, "attn2")
-        h = nn.LayerNorm(name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         gate = nn.Dense(self.dim * 8, name="ff_proj")(h)
         a, g = jnp.split(gate, 2, axis=-1)
-        x = x + nn.Dense(self.dim, name="ff_out")(a * nn.gelu(g))
+        x = x + nn.Dense(self.dim, name="ff_out")(a * nn.gelu(g, approximate=False))
         return x
 
 
