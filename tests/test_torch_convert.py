@@ -492,7 +492,8 @@ class TestFluxConverter:
         from fastgen_tpu.utils.torch_convert import (convert_flux,
                                                      verify_against_template)
 
-        net = Flux(dim=96, num_layers=2, num_single_layers=2, num_heads=4,
+        # head_dim must split into the (d/8, 7d/16, 7d/16) RoPE axes -> 32
+        net = Flux(dim=96, num_layers=2, num_single_layers=2, num_heads=3,
                    in_channels=4, text_dim=32, pooled_dim=16)
         x = jnp.zeros((1, 8, 8, 4))
         t = jnp.array([0.5])
