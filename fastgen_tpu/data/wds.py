@@ -79,6 +79,99 @@ def decode_member(name: str, data: bytes) -> Any:
     return data
 
 
+VIDEO_EXTENSIONS = ("mp4", "mov", "webm", "avi", "mkv")
+
+
+def _video_decoder_backend() -> Optional[str]:
+    """Best available raw-video decode backend: the ``av`` package (the
+    reference's path, ``decoders.py:80``), an ``ffmpeg`` binary, or
+    ``imageio_ffmpeg``'s bundled binary. None when the image has neither
+    (this zero-egress image ships none — latent/npy shards are the
+    first-class path)."""
+    try:
+        import av  # noqa: F401
+
+        return "av"
+    except ImportError:
+        pass
+    import shutil
+
+    if shutil.which("ffmpeg"):
+        return "ffmpeg"
+    try:
+        import imageio_ffmpeg  # noqa: F401
+
+        return "imageio_ffmpeg"
+    except ImportError:
+        return None
+
+
+def _ffmpeg_exe() -> str:
+    import shutil
+
+    exe = shutil.which("ffmpeg")
+    if exe:
+        return exe
+    import imageio_ffmpeg
+
+    return imageio_ffmpeg.get_ffmpeg_exe()
+
+
+def decode_video_bytes(data: bytes, num_frames: Optional[int] = None,
+                       start_frame: int = 0) -> Optional[np.ndarray]:
+    """Decode a video container to [T, H, W, 3] uint8 frames (ref
+    ``decode_video_segment``, ``datasets/decoders.py:80-170``).
+
+    Uses PyAV when importable, else pipes through an ffmpeg binary
+    (``-f rawvideo -pix_fmt rgb24``); returns None when no backend exists.
+    """
+    backend = _video_decoder_backend()
+    if backend is None:
+        return None
+    if backend == "av":
+        import av
+
+        frames = []
+        with av.open(io.BytesIO(data)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i < start_frame:
+                    continue
+                frames.append(frame.to_ndarray(format="rgb24"))
+                if num_frames and len(frames) >= num_frames:
+                    break
+        return np.stack(frames) if frames else None
+
+    # ffmpeg subprocess: mp4 moov atoms can trail the mdat, so stage the
+    # bytes in a temp file rather than piping stdin
+    import re
+    import subprocess
+    import tempfile
+
+    exe = _ffmpeg_exe()
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+        f.write(data)
+        f.flush()
+        probe = subprocess.run([exe, "-hide_banner", "-i", f.name],
+                               capture_output=True, text=True)
+        m = re.search(r"Video:.* (\d{2,})x(\d{2,})", probe.stderr)
+        if not m:
+            logger.error("ffmpeg could not probe video dimensions")
+            return None
+        w, h = int(m.group(1)), int(m.group(2))
+        cmd = [exe, "-hide_banner", "-loglevel", "error", "-i", f.name,
+               "-f", "rawvideo", "-pix_fmt", "rgb24"]
+        if num_frames:
+            cmd += ["-vframes", str(start_frame + num_frames)]
+        cmd += ["pipe:1"]
+        raw = subprocess.run(cmd, capture_output=True).stdout
+    n = len(raw) // (h * w * 3)
+    if n == 0:
+        return None
+    frames = np.frombuffer(raw[: n * h * w * 3],
+                           np.uint8).reshape(n, h, w, 3)
+    return frames[start_frame:]
+
+
 def iter_tar_samples(path: str) -> Iterator[Dict[str, Any]]:
     """Yield {ext: decoded} sample dicts from one tar shard, in file order."""
     with tarfile.open(path, "r") as tf:
@@ -324,10 +417,21 @@ class VideoWDSLoader(WDSLoader):
         self.sequence_length = sequence_length
 
     def map_sample(self, sample):
-        if "mp4" in self.key_map.values():
+        video_keys = [k for k in self.key_map.values()
+                      if k.rsplit(".", 1)[-1] in VIDEO_EXTENSIONS]
+        if video_keys and _video_decoder_backend() is None:
             raise NotImplementedError(
-                "mp4 decode requires the 'av' package (not in this image); "
+                "raw video decode requires the 'av' package, an ffmpeg "
+                "binary, or imageio_ffmpeg (none present in this image); "
                 "use latent shards (.npy/.npz) instead")
+        for ext in video_keys:
+            if ext in sample and isinstance(sample[ext], (bytes, bytearray)):
+                frames = decode_video_bytes(bytes(sample[ext]),
+                                            num_frames=self.sequence_length)
+                if frames is None:
+                    return None
+                # [-1,1] float NTHWC, matching the image loaders' range
+                sample[ext] = frames.astype(np.float32) / 127.5 - 1.0
         out = super().map_sample(sample)
         if out is None:
             return None
