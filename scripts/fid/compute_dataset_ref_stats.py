@@ -26,7 +26,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", required=True, help="class-cond zip dataset")
     p.add_argument("--out", required=True, help="output npz path")
-    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--batch", type=int, default=250)
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--detector", default="auto")
     p.add_argument("--detector_path", default=None)
@@ -37,13 +37,20 @@ def main():
 
     ds = ImageFolderDataset(args.dataset, use_labels=False, cache=False)
     n = len(ds) if args.max_samples is None else min(len(ds), args.max_samples)
+    # fixed-size batches only: a ragged tail batch would trigger a second
+    # multi-minute detector compile through the TPU tunnel. The trim is
+    # logged, never silent.
+    if n % args.batch:
+        print(f"trimming {n % args.batch} tail images so every batch is "
+              f"{args.batch} (one compiled shape)", flush=True)
+        n -= n % args.batch
 
     def batches():
         for start in range(0, n, args.batch):
             imgs = [np.asarray(ds[i][0])
-                    for i in range(start, min(start + args.batch, n))]
+                    for i in range(start, start + args.batch)]
             yield np.stack(imgs)
-            if start % (50 * args.batch) == 0:
+            if start % (10 * args.batch) == 0:
                 print(f"{start}/{n}", flush=True)
 
     detector = get_detector(args.detector, args.detector_path)

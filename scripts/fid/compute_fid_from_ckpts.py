@@ -12,9 +12,11 @@ inception stats, FID against the reference npz, write ``fid.json``::
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
@@ -106,11 +108,12 @@ def main():
     rank = jax.process_index()
     world = jax.process_count()
     results = {}
+    with np.load(args.ref) as ref:
+        mu_ref, sigma_ref = ref["mu"], ref["sigma"]
     for step in steps_avail:
         state, _, _ = ckpt.load(state_template, step=step)
         params_net = select_params(model, state)
 
-        @jax.jit
         def gen_batch(key):
             noise = jax.random.normal(
                 key, (args.batch,) + tuple(config.model.input_shape), model.precision)
@@ -122,25 +125,71 @@ def main():
             if args.sampler == "teacher":
                 # the net's own multi-step sampler (EDM Euler / dpm2m), the
                 # teacher-quality upper bound for the distilled student
-                return model.net.apply(params_net, noise, condition=cond,
+                imgs = model.net.apply(params_net, noise, condition=cond,
                                        num_steps=args.steps or 35,
                                        method=model.net.sample)
-            return model.generator_fn(params_net, noise, rng=key, condition=cond,
-                                      student_sample_steps=sample_steps,
-                                      t_list=config.model.sample_t_cfg.t_list)
+            else:
+                imgs = model.generator_fn(params_net, noise, rng=key,
+                                          condition=cond,
+                                          student_sample_steps=sample_steps,
+                                          t_list=config.model.sample_t_cfg.t_list)
+            return jnp.clip((imgs.astype(jnp.float32) + 1) * 127.5,
+                            0, 255).astype(jnp.uint8)
 
-        def sample_iter():
-            # rank-strided batches: each process generates a disjoint seed range
-            n_batches = (args.num_samples + args.batch - 1) // args.batch
+        n_batches = (args.num_samples + args.batch - 1) // args.batch
+        if hasattr(detector, "stats_fns"):
+            # fused sample->detector->stats device step with a donated
+            # accumulator carry: the host loop enqueues one async dispatch
+            # per batch and synchronizes once at finalize. Through the TPU
+            # tunnel the old generate->host->detector->host round trips cost
+            # seconds per batch (quality/v4_pipeline.log timeouts).
+            init_acc, _, finalize = detector.stats_fns()
+
+            @functools.partial(jax.jit, donate_argnums=0)
+            def fid_step(acc, key):
+                feats = detector._fwd(gen_batch(key)).astype(jnp.float32)
+                return {"n": acc["n"] + feats.shape[0],
+                        "mu": acc["mu"] + feats.sum(axis=0),
+                        "sigma": acc["sigma"] + feats.T @ feats}
+
+            acc = init_acc()
+            t0 = time.time()
             for bi in range(rank, n_batches, world):
-                key = jax.random.fold_in(jax.random.PRNGKey(args.seed), bi)
-                imgs = np.asarray(gen_batch(key))
-                yield np.clip((imgs + 1) * 127.5, 0, 255).astype(np.uint8)
+                acc = fid_step(acc, jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed), bi))
+                if bi == rank:  # first dispatch includes the compile
+                    jax.block_until_ready(acc["n"])
+                    print(f"first batch (incl. compile): {time.time()-t0:.1f}s",
+                          flush=True)
+            mu_sum, sigma_sum, n = finalize(acc)
+            if world > 1:
+                from jax.experimental import multihost_utils
 
-        score = fid_lib.calc(sample_iter(), args.ref, detector=detector,
-                             max_samples=args.num_samples // world)
+                stacked = np.concatenate(
+                    [mu_sum, sigma_sum.reshape(-1), [float(n)]])
+                reduced = np.asarray(
+                    multihost_utils.process_allgather(stacked)).sum(0)
+                dim = detector.feature_dim
+                mu_sum, sigma_sum = reduced[:dim], reduced[dim:-1].reshape(dim, dim)
+                n = int(reduced[-1])
+            mu = mu_sum / n
+            sigma = (sigma_sum - n * np.outer(mu, mu)) / max(n - 1, 1)
+            score = fid_lib.calculate_fid_from_inception_stats(
+                mu, sigma, mu_ref, sigma_ref)
+            print(f"stats over {n} samples in {time.time()-t0:.1f}s", flush=True)
+        else:
+            gen_jit = jax.jit(gen_batch)
+
+            def sample_iter():
+                # rank-strided: each process generates a disjoint seed range
+                for bi in range(rank, n_batches, world):
+                    key = jax.random.fold_in(jax.random.PRNGKey(args.seed), bi)
+                    yield np.asarray(gen_jit(key))
+
+            score = fid_lib.calc(sample_iter(), args.ref, detector=detector,
+                                 max_samples=args.num_samples // world)
         results[str(step)] = score
-        print(f"ckpt {step}: FID = {score:.4f}")
+        print(f"ckpt {step}: FID = {score:.4f}", flush=True)
 
     if rank == 0:
         out_path = os.path.join(save_dir, "fid.json")

@@ -152,6 +152,47 @@ class FlaxInceptionDetector:
             feats.append(np.asarray(self._fwd(images_uint8[i:i + self._batch])))
         return np.concatenate(feats)
 
+    def stats_fns(self):
+        """On-device streaming (n, Σf, ΣffT) accumulation.
+
+        The host loop ``acc = update(acc, batch)`` never synchronizes: the
+        accumulator is a donated device carry, so batches pipeline through
+        the (tunneled) TPU asynchronously and the only blocking transfer is
+        ``finalize``. This replaces one device round-trip *per batch* — which
+        is what made 50k-image stats passes time out through the TPU tunnel
+        (quality/v4_pipeline.log) — with a single round-trip per pass.
+
+        Float32 on device, finalized in float64 on host: sums over 50k
+        unit-scale features carry ~1e-5 relative error, far below FID noise;
+        the reference accumulates in f64 on GPU (ref ``fid.py:26-88``).
+        """
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        dim = self.feature_dim
+        fwd = self._fwd
+
+        def init_acc():
+            return {"n": jnp.zeros((), jnp.float32),
+                    "mu": jnp.zeros((dim,), jnp.float32),
+                    "sigma": jnp.zeros((dim, dim), jnp.float32)}
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def update(acc, images_uint8):
+            feats = fwd(images_uint8).astype(jnp.float32)
+            return {"n": acc["n"] + feats.shape[0],
+                    "mu": acc["mu"] + feats.sum(axis=0),
+                    "sigma": acc["sigma"] + feats.T @ feats}
+
+        def finalize(acc):
+            return (np.asarray(acc["mu"], np.float64),
+                    np.asarray(acc["sigma"], np.float64),
+                    int(np.asarray(acc["n"])))
+
+        return init_acc, update, finalize
+
 
 class TorchInceptionDetector:
     """NVIDIA's pickled InceptionV3 via torch CPU (ref ``inception.py:23``)."""
@@ -208,17 +249,31 @@ def calculate_inception_stats(sample_iter, detector, max_samples: Optional[int] 
     """mu/Sigma over an iterator of uint8 NHWC image batches
     (ref ``fid.py:26-88``)."""
     dim = detector.feature_dim
-    mu_sum = np.zeros(dim, np.float64)
-    sigma_sum = np.zeros((dim, dim), np.float64)
-    n = 0
-    for batch in sample_iter:
-        feats = detector(batch).astype(np.float64)
-        mu_sum += feats.sum(axis=0)
-        sigma_sum += feats.T @ feats
-        n += feats.shape[0]
-        if max_samples and n >= max_samples:
-            break
-    assert n > 0, "no samples"
+    if hasattr(detector, "stats_fns"):
+        # streaming on-device accumulation: no per-batch host sync (critical
+        # through the TPU tunnel, where each sync costs a round trip)
+        init_acc, update, finalize = detector.stats_fns()
+        acc = init_acc()
+        n = 0
+        for batch in sample_iter:
+            acc = update(acc, batch)
+            n += len(batch)
+            if max_samples and n >= max_samples:
+                break
+        assert n > 0, "no samples"
+        mu_sum, sigma_sum, n = finalize(acc)
+    else:
+        mu_sum = np.zeros(dim, np.float64)
+        sigma_sum = np.zeros((dim, dim), np.float64)
+        n = 0
+        for batch in sample_iter:
+            feats = detector(batch).astype(np.float64)
+            mu_sum += feats.sum(axis=0)
+            sigma_sum += feats.T @ feats
+            n += feats.shape[0]
+            if max_samples and n >= max_samples:
+                break
+        assert n > 0, "no samples"
 
     # cross-process reduction (ref dist.all_reduce of mu/Sigma)
     try:
