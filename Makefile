@@ -1,8 +1,13 @@
 # fastgen-tpu developer targets (ref ``Makefile:23-24``)
 
-.PHONY: pytest bench dryrun lint
+.PHONY: pytest pytest-all bench dryrun lint
 
+# quick tier: skips @pytest.mark.slow (>60s) tests — ~10 min on this box
 pytest:
+	python -m pytest tests/ -q -m "not slow"
+
+# the full suite (~45 min single-core)
+pytest-all:
 	python -m pytest tests/ -q
 
 bench:

@@ -29,12 +29,33 @@ mkdir -p "$DATA/fid-refs" "$LOGS"
 
 TEACHER_ITERS=${TEACHER_ITERS:-12000}
 STUDENT_ITERS=${STUDENT_ITERS:-6000}
+# device->host checkpoint snapshots cost ~5 min/GB through the TPU tunnel, so
+# the save cadence is budget-critical: default to endpoint-only saves
+TEACHER_SAVE_ITER=${TEACHER_SAVE_ITER:-$TEACHER_ITERS}
+STUDENT_SAVE_ITER=${STUDENT_SAVE_ITER:-$STUDENT_ITERS}
 FID_SAMPLES=${FID_SAMPLES:-10000}
 TEACHER_BUDGET=${TEACHER_BUDGET:-5400}
 STUDENT_BUDGET=${STUDENT_BUDGET:-5400}
 FID_BUDGET=${FID_BUDGET:-2400}
 
 log() { echo "[$RUN_TAG $(date +%H:%M:%S)] $*"; }
+
+# Touch the FileAutoResume sentinel well before a training stage's hard
+# timeout: the run then saves-and-exits cleanly (checkpoint snapshots take
+# ~5 min/GB through the TPU tunnel; a SIGKILL mid-save leaves only an
+# .orbax-checkpoint-tmp dir, which is what killed v4's student row).
+SENTINEL=/tmp/fastgen_terminate
+with_graceful_budget() {  # $1=budget_secs, rest=command
+    local budget=$1; shift
+    rm -f "$SENTINEL"
+    ( sleep $((budget - 700)) && touch "$SENTINEL" ) &
+    local watchdog=$!
+    timeout "$budget" "$@"
+    local rc=$?
+    kill "$watchdog" 2>/dev/null
+    rm -f "$SENTINEL"
+    return $rc
+}
 
 log "stage: dataset"
 if [ ! -f "$DATA/procgen-32x32.zip" ]; then
@@ -48,9 +69,9 @@ TCKPT=$ROOT/fastgen/procgen/sft_edm_procgen_$RUN_TAG/checkpoints
 TLAST=$(ls "$TCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
 if [ -z "$TLAST" ] || [ "$TLAST" -lt "$TEACHER_ITERS" ]; then
     log "stage: teacher (resume at ${TLAST:-0} -> ${TEACHER_ITERS} iters)"
-    timeout $TEACHER_BUDGET python train.py \
+    with_graceful_budget $TEACHER_BUDGET python train.py \
         --config=fastgen_tpu/configs/experiments/EDM/config_sft_edm_procgen.py \
-        - trainer.max_iter=$TEACHER_ITERS trainer.save_ckpt_iter=2000 \
+        - trainer.max_iter=$TEACHER_ITERS trainer.save_ckpt_iter=$TEACHER_SAVE_ITER \
           trainer.validation_iter=0 \
           log_config.name=sft_edm_procgen_$RUN_TAG \
         > "$LOGS/teacher.log" 2>&1 || log "teacher stage rc=$? (using last ckpt)"
@@ -88,9 +109,9 @@ log "stage: student (${STUDENT_ITERS}-iter DMD2 distill from $RUN_TAG teacher)"
 SCKPT=$ROOT/fastgen/procgen/dmd2_procgen_$RUN_TAG/checkpoints
 SLAST=$(ls "$SCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
 if [ -z "$SLAST" ] || [ "$SLAST" -lt "$STUDENT_ITERS" ]; then
-    timeout $STUDENT_BUDGET python train.py \
+    with_graceful_budget $STUDENT_BUDGET python train.py \
         --config=fastgen_tpu/configs/experiments/EDM/config_dmd2_procgen.py \
-        - trainer.max_iter=$STUDENT_ITERS trainer.save_ckpt_iter=1000 \
+        - trainer.max_iter=$STUDENT_ITERS trainer.save_ckpt_iter=$STUDENT_SAVE_ITER \
           trainer.validation_iter=0 \
           log_config.name=dmd2_procgen_$RUN_TAG \
           model.pretrained_model_path="$TCKPT" \

@@ -42,6 +42,9 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "integration: needs real data / long runtime")
     config.addinivalue_line("markers", "large_model: downloads or builds large models")
     config.addinivalue_line("markers", "tpu: requires a real TPU device")
+    config.addinivalue_line(
+        "markers", "slow: >60s on the single-core dev box; excluded from "
+        "`make pytest`, included in `make pytest-all`")
 
 
 def pytest_collection_modifyitems(config, items):
