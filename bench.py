@@ -252,6 +252,10 @@ def bench_wan_train():
     # ~12 blocks' recompute workspace and OOMs (see WanVideoDiT.scan_blocks)
     cfg.remat = True
     cfg.scan_blocks = True
+    # "ffn": only the [N, ffn_dim] FFN segment gets the inner remat; the
+    # attention recompute rides the outer per-block remat alone (flash fwd
+    # 2x/step instead of 3x) at ~1 GB more backward workspace
+    cfg.remat_inner_mode = os.environ.get("FASTGEN_BENCH_REMAT_MODE", "all")
     net = instantiate(cfg)
     key = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16

@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -298,15 +299,18 @@ class CogVideoX(FastGenNetwork):
 
             use_cfg_ms = (guidance_scale is not None and guidance_scale > 1.0
                           and neg_condition is not None)
-            step_of = {float(t): i for i, t in enumerate(t_list)}
+            # the dynamic CFG schedule is a pure function of the step index:
+            # precompute it and gather with the traced index inside the scan
+            scale_table = jnp.asarray([local_scale(i)
+                                       for i in range(len(t_list))], jnp.float32)
 
-            def x0_fn(x, t_cur):
+            def x0_fn(x, t_cur, step_i):
                 tb = jnp.full((x.shape[0],), t_cur, jnp.float32)
                 x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
                 if use_cfg_ms:
                     x0_neg = self(x, tb, condition=neg_condition,
                                   fwd_pred_type="x0")
-                    g = local_scale(step_of.get(float(t_cur), 0))
+                    g = scale_table[jnp.asarray(step_i, jnp.int32)]
                     x0 = x0_neg + g * (x0 - x0_neg)
                 return x0
 
@@ -315,15 +319,27 @@ class CogVideoX(FastGenNetwork):
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
         b = x.shape[0]
-        for i, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
+        scales = jnp.asarray([local_scale(i) for i in range(len(t_list) - 1)],
+                             jnp.float32)
+
+        # lax.scan over the schedule: one compiled step, O(1) HLO in
+        # num_steps (see EDMPrecond.sample); the dynamic CFG schedule is a
+        # gather from a precomputed per-step table
+        def step(x, sc):
+            i, pair = sc
+            t_cur, t_next = pair[0], pair[1]
             tb = jnp.full((b,), t_cur, jnp.float32)
             x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
             if use_cfg:
                 x0_neg = self(x, tb, condition=neg_condition, fwd_pred_type="x0")
-                x0 = x0_neg + local_scale(i) * (x0 - x0_neg)
-            if t_next > 0:
-                eps = ns.x0_to_eps(x, x0, tb)
-                x = ns.forward_process(x0, eps, jnp.full((b,), t_next, jnp.float32))
-            else:
-                x = x0
+                x0 = x0_neg + scales[i] * (x0 - x0_neg)
+            eps = ns.x0_to_eps(x, x0, tb)
+            x_fwd = ns.forward_process(x0, eps, jnp.full((b,), t_next, jnp.float32))
+            # final step (t_next == 0) lands on the clean prediction
+            return jnp.where(t_next > 0, x_fwd, x0), None
+
+        t_arr = jnp.asarray(t_list, jnp.float32)
+        x, _ = jax.lax.scan(
+            step, x, (jnp.arange(len(t_list) - 1, dtype=jnp.int32),
+                      jnp.stack([t_arr[:-1], t_arr[1:]], axis=1)))
         return x

@@ -466,18 +466,34 @@ class CosmosPredict2(FastGenNetwork):
             mask_bt = jnp.broadcast_to(
                 cm.reshape(cm.shape[0], cm.shape[1], -1)[:, :, :1],
                 (b, x.shape[1], 1))[..., 0].astype(jnp.float32)
-        for idx, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
-            tb = jnp.full((b,), t_cur, jnp.float32)
-            if mask_bt is not None:
-                tb = (conditional_frame_timestep * mask_bt
-                      + tb[:, None] * (1.0 - mask_bt))
-            v = self(x, tb, condition=condition, fwd_pred_type="flow")
-            if use_cfg:
-                slg = (skip_layers if skip_layers is not None
-                       and idx >= skip_layers_start_percent * num_steps else None)
-                v_neg = self(x, tb, condition=neg_condition,
-                             fwd_pred_type="flow", skip_layers=slg)
-                v = v_neg + guidance_scale * (v - v_neg)
-            x = x - jnp.asarray(t_cur - t_next, x.dtype) * v
-            x = self.preserve_conditioning(x, condition)
-        return x
+        # lax.scan over the schedule: one compiled step, O(1) HLO in
+        # num_steps (see EDMPrecond.sample). SLG changes the graph, so it
+        # splits the schedule into two chained scans at its static start.
+        def euler_seg(x, t_seg, slg):
+            def step(x, pair):
+                t_cur, t_next = pair[0], pair[1]
+                tb = jnp.full((b,), t_cur, jnp.float32)
+                if mask_bt is not None:
+                    tb = (conditional_frame_timestep * mask_bt
+                          + tb[:, None] * (1.0 - mask_bt))
+                v = self(x, tb, condition=condition, fwd_pred_type="flow")
+                if use_cfg:
+                    v_neg = self(x, tb, condition=neg_condition,
+                                 fwd_pred_type="flow", skip_layers=slg)
+                    v = v_neg + guidance_scale * (v - v_neg)
+                x_n = x - (t_cur - t_next).astype(x.dtype) * v
+                return self.preserve_conditioning(x_n, condition), None
+
+            t_arr = jnp.asarray(t_seg, jnp.float32)
+            x, _ = jax.lax.scan(step, x,
+                                jnp.stack([t_arr[:-1], t_arr[1:]], axis=1))
+            return x
+
+        slg_on = skip_layers is not None and use_cfg
+        slg_start = (int(np.ceil(skip_layers_start_percent * num_steps))
+                     if slg_on else num_steps)
+        if 0 < slg_start < num_steps:
+            x = euler_seg(x, t_list[:slg_start + 1], None)
+            return euler_seg(x, t_list[slg_start:], skip_layers)
+        return euler_seg(x, t_list,
+                         skip_layers if slg_on and slg_start == 0 else None)

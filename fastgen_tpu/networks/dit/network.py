@@ -330,7 +330,11 @@ class DiT(FastGenNetwork):
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
         b = x.shape[0]
-        for t_cur, t_next in zip(t_list[:-1], t_list[1:]):
+
+        # lax.scan over the schedule: one compiled step, O(1) HLO in
+        # num_steps (see EDMPrecond.sample)
+        def step(x, pair):
+            t_cur, t_next = pair[0], pair[1]
             tb = jnp.full((b,), t_cur, jnp.float32)
             if use_cfg:
                 v = self(jnp.concatenate([x, x]), jnp.concatenate([tb, tb]),
@@ -340,5 +344,9 @@ class DiT(FastGenNetwork):
                 v = v_neg + guidance_scale * (v_pos - v_neg)
             else:
                 v = self(x, tb, condition=condition, fwd_pred_type="flow")
-            x = x - jnp.asarray(t_cur - t_next, x.dtype) * v
+            return x - (t_cur - t_next).astype(x.dtype) * v, None
+
+        t_arr = jnp.asarray(t_list, jnp.float32)
+        pairs = jnp.stack([t_arr[:-1], t_arr[1:]], axis=1)
+        x, _ = jax.lax.scan(step, x, pairs)
         return x

@@ -795,11 +795,16 @@ class EDMPrecond(FastGenNetwork):
         adds the original EDM paper's 2nd-order correction).
 
         Linen-style: call via ``net.apply(params, noise, ..., method=net.sample)``.
-        The step loop is a Python loop over a static t_list -> fully unrolled
-        under jit (static shapes, no host sync).
+        The step loop is a ``lax.scan`` over the stacked (sigma, sigma_next)
+        schedule: XLA compiles ONE denoiser step and loops it on device, so
+        the HLO stays O(1) in num_steps (an unrolled 35-step UNet graph is
+        tens of MB of serialized HLO — it blows past compile-RPC limits and
+        multiplies compile time for zero runtime benefit; the loop itself
+        has no host syncs either way).
         """
-        sigmas = self.noise_scheduler.get_t_list(num_steps)
-        x = self.noise_scheduler.latents(noise, t_init=jnp.asarray(sigmas[0]))
+        sigmas = jnp.asarray(self.noise_scheduler.get_t_list(num_steps),
+                             dtype=jnp.float32)
+        x = self.noise_scheduler.latents(noise, t_init=sigmas[0])
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
 
@@ -817,12 +822,20 @@ class EDMPrecond(FastGenNetwork):
                 x0_pred = self(x, t, condition=condition, fwd_pred_type="x0")
             return (x - x0_pred) / expand_like(t, x)
 
-        for sigma, sigma_next in zip(sigmas[:-1], sigmas[1:]):
+        def step(x, pair):
+            sigma, sigma_next = pair[0], pair[1]
             d = slope(x, sigma)
-            h = jnp.asarray(sigma_next - sigma, x.dtype)
+            h = (sigma_next - sigma).astype(x.dtype)
             x_next = x + h * d
-            if solver == "heun" and sigma_next > 0:
+            if solver == "heun":
+                # 2nd-order correction everywhere except the final step
+                # (sigma_next == 0): the extra slope eval runs there too —
+                # scan bodies are shape-uniform — but its result is masked out.
                 d2 = slope(x_next, sigma_next)
-                x_next = x + h * 0.5 * (d + d2)
-            x = x_next
+                x_next = jnp.where(sigma_next > 0,
+                                   x + h * 0.5 * (d + d2), x_next)
+            return x_next, None
+
+        pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
+        x, _ = jax.lax.scan(step, x, pairs)
         return x

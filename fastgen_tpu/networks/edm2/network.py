@@ -415,8 +415,9 @@ class EDM2Precond(FastGenNetwork):
         ``solver="heun"`` adds the EDM-paper 2nd-order correction)."""
         from fastgen_tpu.utils import expand_like
 
-        sigmas = self.noise_scheduler.get_t_list(num_steps)
-        x = self.noise_scheduler.latents(noise, t_init=jnp.asarray(sigmas[0]))
+        sigmas = jnp.asarray(self.noise_scheduler.get_t_list(num_steps),
+                             dtype=jnp.float32)
+        x = self.noise_scheduler.latents(noise, t_init=sigmas[0])
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
 
@@ -432,14 +433,21 @@ class EDM2Precond(FastGenNetwork):
                 x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
             return (x - x0) / expand_like(tb, x)
 
-        for sigma, sigma_next in zip(sigmas[:-1], sigmas[1:]):
+        # lax.scan over the schedule: one compiled step, O(1) HLO in
+        # num_steps (see EDMPrecond.sample)
+        def step(x, pair):
+            sigma, sigma_next = pair[0], pair[1]
             d = slope(x, sigma)
-            h = jnp.asarray(sigma_next - sigma, x.dtype)
+            h = (sigma_next - sigma).astype(x.dtype)
             x_next = x + h * d
-            if solver == "heun" and sigma_next > 0:
+            if solver == "heun":
                 d2 = slope(x_next, sigma_next)
-                x_next = x + h * 0.5 * (d + d2)
-            x = x_next
+                x_next = jnp.where(sigma_next > 0,
+                                   x + h * 0.5 * (d + d2), x_next)
+            return x_next, None
+
+        pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
+        x, _ = jax.lax.scan(step, x, pairs)
         return x
 
 

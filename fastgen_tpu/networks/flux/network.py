@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -285,8 +286,15 @@ class Flux(FastGenNetwork):
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
         b = x.shape[0]
         g = jnp.full((b,), guidance_scale or self.guidance_scale, jnp.float32)
-        for t_cur, t_next in zip(t_list[:-1], t_list[1:]):
+
+        # lax.scan over the schedule: one compiled step, O(1) HLO in
+        # num_steps (see EDMPrecond.sample)
+        def step(x, pair):
+            t_cur, t_next = pair[0], pair[1]
             tb = jnp.full((b,), t_cur, jnp.float32)
             v = self(x, tb, condition=condition, fwd_pred_type="flow", guidance=g)
-            x = x - jnp.asarray(t_cur - t_next, x.dtype) * v
+            return x - (t_cur - t_next).astype(x.dtype) * v, None
+
+        t_arr = jnp.asarray(t_list, jnp.float32)
+        x, _ = jax.lax.scan(step, x, jnp.stack([t_arr[:-1], t_arr[1:]], axis=1))
         return x

@@ -743,7 +743,10 @@ class LTX2VideoDiT(FastGenNetwork):
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
-        for t_cur, t_next in zip(t_list[:-1], t_list[1:]):
+        # lax.scan over the schedule: one compiled step, O(1) HLO in
+        # num_steps (see EDMPrecond.sample)
+        def step(x, pair):
+            t_cur, t_next = pair[0], pair[1]
             t_b = jnp.full((x.shape[0],), t_cur, jnp.float32)
             x0 = self(x, t_b, condition=condition, fwd_pred_type="x0")
             if use_cfg:
@@ -753,11 +756,13 @@ class LTX2VideoDiT(FastGenNetwork):
                 if guidance_rescale > 0:
                     guided = rescale_noise_cfg(guided, x0, guidance_rescale)
                 x0 = guided
-            if float(t_next) > 0:
-                eps = ns.x0_to_eps(x, x0, t_b)
-                x = ns.forward_process(x0, eps,
+            eps = ns.x0_to_eps(x, x0, t_b)
+            x_fwd = ns.forward_process(x0, eps,
                                        jnp.full((x.shape[0],), t_next,
                                                 jnp.float32))
-            else:
-                x = x0
+            # final step (t_next == 0) lands on the clean prediction
+            return jnp.where(t_next > 0, x_fwd, x0), None
+
+        t_arr = jnp.asarray(t_list, jnp.float32)
+        x, _ = jax.lax.scan(step, x, jnp.stack([t_arr[:-1], t_arr[1:]], axis=1))
         return x

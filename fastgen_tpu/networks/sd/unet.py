@@ -301,17 +301,24 @@ class StableDiffusion15(FastGenNetwork):
         use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                    and neg_condition is not None)
         b = x.shape[0]
-        for t_cur, t_next in zip(t_list[:-1], t_list[1:]):
+
+        # lax.scan over the schedule: one compiled step, O(1) HLO in
+        # num_steps (see EDMPrecond.sample)
+        def step(x, pair):
+            t_cur, t_next = pair[0], pair[1]
             tb = jnp.full((b,), t_cur, jnp.float32)
             x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
             if use_cfg:
                 x0_neg = self(x, tb, condition=neg_condition, fwd_pred_type="x0")
                 x0 = x0_neg + guidance_scale * (x0 - x0_neg)
-            if t_next > 0:
-                eps = ns.x0_to_eps(x, x0, tb)
-                x = ns.forward_process(x0, eps, jnp.full((b,), t_next, jnp.float32))
-            else:
-                x = x0
+            eps = ns.x0_to_eps(x, x0, tb)
+            x_fwd = ns.forward_process(x0, eps, jnp.full((b,), t_next, jnp.float32))
+            # final step (t_next == 0) lands on the clean prediction
+            return jnp.where(t_next > 0, x_fwd, x0), None
+
+        t_arr = jnp.asarray(t_list, jnp.float32)
+        pairs = jnp.stack([t_arr[:-1], t_arr[1:]], axis=1)
+        x, _ = jax.lax.scan(step, x, pairs)
         return x
 
 

@@ -246,6 +246,15 @@ class WanBlock(nn.Module):
     # the backward, so without this every [N, ffn_dim]/f32 [N, D] buffer of
     # the block co-lives (~6 GB at 32,760 tokens vs ~3 GB with segments)
     remat_inner: bool = False
+    # which segments get the inner remat when remat_inner is set:
+    #   "all" — self-attn, cross-attn, and FFN (minimum memory; flash
+    #           attention forward runs 3x per step: primal + outer block
+    #           recompute + segment recompute)
+    #   "ffn" — only the FFN segment (the [N, ffn_dim] memory hog); the
+    #           attention segments are covered by the outer block remat
+    #           alone, so flash forward runs 2x instead of 3x (~1 GB more
+    #           backward workspace, measurably higher train MFU)
+    remat_inner_mode: str = "all"
 
     def setup(self):
         self.norm1 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
@@ -323,7 +332,7 @@ class WanBlock(nn.Module):
                                                     start_token, store_kv=store_kv)
             x = (xf + self._gate(attn_out.astype(jnp.float32),
                                  gate_msa)).astype(x.dtype)
-        elif self.remat_inner:
+        elif self.remat_inner and self.remat_inner_mode == "all":
             x = nn.remat(seg_self, prevent_cse=False)(self, x)
             new_cache = None
         else:
@@ -331,7 +340,10 @@ class WanBlock(nn.Module):
             new_cache = None
 
         if self.remat_inner and self_cache is None:
-            x = nn.remat(seg_cross, prevent_cse=False)(self, x)
+            if self.remat_inner_mode == "all":
+                x = nn.remat(seg_cross, prevent_cse=False)(self, x)
+            else:
+                x = seg_cross(self, x)
             x = nn.remat(seg_ffn, prevent_cse=False)(self, x)
         else:
             x = seg_cross(self, x)
@@ -382,6 +394,9 @@ class WanVideoDiT(FastGenNetwork):
     time_cond_type: str = "abs"
     attn_impl: Optional[str] = None
     remat: bool = False
+    # see WanBlock.remat_inner_mode ("all" = min memory, "ffn" = min
+    # attention recompute)
+    remat_inner_mode: str = "all"
     # stacked-parameter lax.scan over the 30 identical blocks: the TPU-native
     # layout for long-sequence training — XLA compiles ONE block and the
     # scan loop hard-serializes per-block backward recomputation, bounding
@@ -413,12 +428,14 @@ class WanVideoDiT(FastGenNetwork):
             self.block_stack = WanBlock(self.dim, self.num_heads, self.ffn_dim,
                                         self.qk_norm, self.cross_attn_norm,
                                         self.attn_impl, remat_inner=self.remat,
+                                        remat_inner_mode=self.remat_inner_mode,
                                         name="blocks")
             self.blocks = []
         else:
             self.blocks = [WanBlock(self.dim, self.num_heads, self.ffn_dim,
                                     self.qk_norm, self.cross_attn_norm,
                                     self.attn_impl, remat_inner=self.remat,
+                                    remat_inner_mode=self.remat_inner_mode,
                                     name=f"blocks_{i}")
                            for i in range(self.num_layers)]
         self.norm_out = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
@@ -657,23 +674,34 @@ class WanVideoDiT(FastGenNetwork):
             use_cfg_ms = guidance_scale is not None and guidance_scale > 1.0 \
                 and neg_condition is not None
             n_steps = len(t_list) - 1
-            step_idx = {float(t): i for i, t in enumerate(t_list)}
 
-            def x0_fn(x, t_cur):
-                tb = jnp.full((x.shape[0],), t_cur, jnp.float32)
-                x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
-                if use_cfg_ms:
-                    idx = step_idx.get(float(t_cur), 0)
-                    slg = (skip_layers if skip_layers is not None
-                           and idx >= skip_layers_start_percent * n_steps
-                           else None)
-                    x0_neg = self(x, tb, condition=neg_condition,
-                                  fwd_pred_type="x0", skip_layers=slg)
-                    x0 = x0_neg + guidance_scale * (x0 - x0_neg)
-                preserve_ = getattr(self, "preserve_conditioning", None)
-                return preserve_(x0, condition) if preserve_ is not None else x0
+            def make_x0_fn(slg):
+                # slg is static per segment: layer skipping changes the
+                # graph, so it can't be a traced choice inside the scan
+                def x0_fn(x, t_cur):
+                    tb = jnp.full((x.shape[0],), t_cur, jnp.float32)
+                    x0 = self(x, tb, condition=condition, fwd_pred_type="x0")
+                    if use_cfg_ms:
+                        x0_neg = self(x, tb, condition=neg_condition,
+                                      fwd_pred_type="x0", skip_layers=slg)
+                        x0 = x0_neg + guidance_scale * (x0 - x0_neg)
+                    preserve_ = getattr(self, "preserve_conditioning", None)
+                    return (preserve_(x0, condition)
+                            if preserve_ is not None else x0)
+                return x0_fn
 
-            return dpm_solver_2m(x0_fn, ns, noise, t_list)
+            slg_start = (int(np.ceil(skip_layers_start_percent * n_steps))
+                         if skip_layers is not None and use_cfg_ms else n_steps)
+            if 0 < slg_start < n_steps:
+                # SLG turns on mid-schedule: run two chained scans (plain
+                # CFG, then SLG-CFG). The 2M history restarts first-order at
+                # the seam — the standard multistep-restart behavior.
+                x = dpm_solver_2m(make_x0_fn(None), ns, noise,
+                                  t_list[:slg_start + 1])
+                return dpm_solver_2m(make_x0_fn(skip_layers), ns, noise,
+                                     t_list[slg_start:], latents=x)
+            slg0 = skip_layers if slg_start == 0 and use_cfg_ms else None
+            return dpm_solver_2m(make_x0_fn(slg0), ns, noise, t_list)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
         preserve = getattr(self, "preserve_conditioning", None)
         if preserve is not None:
@@ -681,21 +709,40 @@ class WanVideoDiT(FastGenNetwork):
         use_cfg = guidance_scale is not None and guidance_scale > 1.0 and \
             neg_condition is not None
         b = x.shape[0]
-        for idx, (t_cur, t_next) in enumerate(zip(t_list[:-1], t_list[1:])):
-            tb = jnp.full((b,), t_cur, jnp.float32)
-            v = self(x, tb, condition=condition, fwd_pred_type="flow")
-            if use_cfg:
-                slg = (skip_layers if skip_layers is not None
-                       and idx >= skip_layers_start_percent * num_steps else None)
-                v_neg = self(x, tb, condition=neg_condition,
-                             fwd_pred_type="flow", skip_layers=slg)
-                v = v_neg + guidance_scale * (v - v_neg)
-            x = x - jnp.asarray(t_cur - t_next, x.dtype) * v
-            # I2V/V2W subclasses pin conditioning frames after each step
-            # (ref WanI2V/network.py sample loop)
-            if preserve is not None:
-                x = preserve(x, condition)
-        return x
+
+        # lax.scan over the schedule: one compiled step, O(1) HLO in
+        # num_steps (see EDMPrecond.sample). SLG changes the *graph* (layers
+        # are dropped), so it splits the schedule into two chained scans at
+        # its static start index instead of being a traced choice.
+        def euler_seg(x, t_seg, slg):
+            def step(x, pair):
+                t_cur, t_next = pair[0], pair[1]
+                tb = jnp.full((b,), t_cur, jnp.float32)
+                v = self(x, tb, condition=condition, fwd_pred_type="flow")
+                if use_cfg:
+                    v_neg = self(x, tb, condition=neg_condition,
+                                 fwd_pred_type="flow", skip_layers=slg)
+                    v = v_neg + guidance_scale * (v - v_neg)
+                x_n = x - (t_cur - t_next).astype(x.dtype) * v
+                # I2V/V2W subclasses pin conditioning frames after each step
+                # (ref WanI2V/network.py sample loop)
+                if preserve is not None:
+                    x_n = preserve(x_n, condition)
+                return x_n, None
+
+            t_arr = jnp.asarray(t_seg, jnp.float32)
+            x, _ = jax.lax.scan(step, x,
+                                jnp.stack([t_arr[:-1], t_arr[1:]], axis=1))
+            return x
+
+        slg_on = skip_layers is not None and use_cfg
+        slg_start = (int(np.ceil(skip_layers_start_percent * num_steps))
+                     if slg_on else num_steps)
+        if 0 < slg_start < num_steps:
+            x = euler_seg(x, t_list[:slg_start + 1], None)
+            return euler_seg(x, t_list[slg_start:], skip_layers)
+        return euler_seg(x, t_list,
+                         skip_layers if slg_on and slg_start == 0 else None)
 
 
 class CausalWanVideoDiT(WanVideoDiT, CausalFastGenNetwork):

@@ -16,9 +16,13 @@ lambda_i), data-prediction form::
     D_i     = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1},  r_i = h_{i-1}/h_i
     x_{i+1} = (sigma_{i+1}/sigma_i) x_i - alpha_{i+1} (e^{-h_i} - 1) D_i
 
-with a first-order (DDIM) step for i = 0. Everything is Python-level over a
-static t grid, so under ``jit`` it unrolls into one XLA program exactly like
-the Euler loops it replaces.
+with a first-order (DDIM) step for i = 0. The t grid is static, so every
+scalar coefficient (sigma ratios, e^{-h}-1, the 2M mixing weight) is
+precomputed host-side with numpy; the network evaluations run under one
+``lax.scan`` over the stacked coefficient table — XLA compiles a single
+denoiser step and loops it on device, keeping the HLO O(1) in num_steps
+(an unrolled 50-step video transformer graph exceeds compile-RPC size
+limits and multiplies compile time for zero runtime benefit).
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["dpm_solver_2m", "shifted_t_grid"]
@@ -46,11 +51,23 @@ def dpm_solver_2m(x0_fn: Callable, noise_schedule, noise: jnp.ndarray,
                   latents: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Integrate from ``t_list[0]`` down to ``t_list[-1]``.
 
-    ``x0_fn(x, t_scalar) -> x0`` is one denoising forward returning the data
-    prediction (callers convert via ``fwd_pred_type='x0'``); ``noise`` seeds
-    the initial latents unless ``latents`` is given. The final step returns
-    the last x0 prediction when ``t_list[-1] == 0`` (sigma -> 0 limit).
+    ``x0_fn(x, t_scalar[, step_idx]) -> x0`` is one denoising forward
+    returning the data prediction (callers convert via
+    ``fwd_pred_type='x0'``); ``noise`` seeds the initial latents unless
+    ``latents`` is given. The final step returns the last x0 prediction when
+    ``t_list[-1] == 0`` (sigma -> 0 limit).
+
+    The steps run under ``lax.scan``, so ``t_scalar`` and the optional
+    ``step_idx`` (int32) reach ``x0_fn`` as *traced* scalars: per-step value
+    differences (e.g. a step-dependent CFG scale) must be expressed as a
+    gather from a precomputed table, and per-step *structural* differences
+    (different layers, different graph) need separate ``dpm_solver_2m``
+    calls chained via ``latents=`` (the 2M history restarts first-order at
+    the seam, the standard multistep-restart behavior).
     """
+    import inspect
+
+    n_fn_args = len(inspect.signature(x0_fn).parameters)
     ns = noise_schedule
     t_list = [float(t) for t in t_list]
 
@@ -64,29 +81,51 @@ def dpm_solver_2m(x0_fn: Callable, noise_schedule, noise: jnp.ndarray,
         if latents is None else latents
     lam = [np.log(max(a(t), _EPS) / max(s(t), _EPS)) for t in t_list]
 
-    x0_prev, h_prev = None, None
+    # Host-side pass over the static grid: per-step scalar coefficients
+    # (t_cur, sigma ratio, alpha*phi, 2M mixing weight, 2M-enable flag).
+    coeffs = []
+    endpoint_t = None
+    h_prev = None
     for i in range(len(t_list) - 1):
         t_cur, t_next = t_list[i], t_list[i + 1]
-        x0_cur = x0_fn(x, t_cur)
         if s(t_next) <= _EPS or t_next <= 0.0:
             # sigma -> 0 endpoint: first-order (x = alpha(0) * x0 = x0).
             # Deliberately NOT the 2M combination: h -> inf there, so the
             # second-order coefficient 1/(2r) = h/(2 h_prev) diverges —
             # diffusers likewise forces lower_order_final whenever
             # final_sigmas_type == "zero" for exactly this reason.
-            x = x0_cur
+            endpoint_t = t_cur
             break
         h = lam[i + 1] - lam[i]
         ratio = s(t_next) / max(s(t_cur), _EPS)
         phi = np.expm1(-h)
-        if x0_prev is None or h_prev is None or abs(h_prev) < _EPS:
-            d = x0_cur            # first-order (DDIM) warmup step
+        if h_prev is None or abs(h_prev) < _EPS:
+            inv_2r, use_2m = 0.0, 0.0   # first-order (DDIM) warmup step
         else:
-            r = h_prev / h
-            d = (1.0 + 1.0 / (2.0 * r)) * x0_cur - (1.0 / (2.0 * r)) * x0_prev
-        x = jnp.asarray(ratio, x.dtype) * x - \
-            jnp.asarray(a(t_next) * phi, x.dtype) * d.astype(x.dtype)
-        x0_prev, h_prev = x0_cur, h
+            inv_2r, use_2m = h / (2.0 * h_prev), 1.0   # 1/(2r), r = h_prev/h
+        coeffs.append((t_cur, ratio, a(t_next) * phi, inv_2r, use_2m))
+        h_prev = h
+
+    if coeffs:
+        def step(carry, sc):
+            i, c = sc
+            x, x0_prev = carry
+            args = (x, c[0]) if n_fn_args < 3 else (x, c[0], i)
+            x0_cur = x0_fn(*args).astype(x.dtype)
+            d = jnp.where(c[4] > 0,
+                          (1.0 + c[3]).astype(x.dtype) * x0_cur
+                          - c[3].astype(x.dtype) * x0_prev,
+                          x0_cur)
+            x = c[1].astype(x.dtype) * x - c[2].astype(x.dtype) * d
+            return (x, x0_cur), None
+
+        table = jnp.asarray(np.array(coeffs, np.float32))
+        idxs = jnp.arange(len(coeffs), dtype=jnp.int32)
+        (x, x0_prev), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)),
+                                       (idxs, table))
+    if endpoint_t is not None:
+        args = (x, endpoint_t) if n_fn_args < 3 else (x, endpoint_t, len(coeffs))
+        x = x0_fn(*args)
     return x
 
 

@@ -112,9 +112,13 @@ def main():
         mu_ref, sigma_ref = ref["mu"], ref["sigma"]
     for step in steps_avail:
         state, _, _ = ckpt.load(state_template, step=step)
-        params_net = select_params(model, state)
+        # Orbax restores host numpy arrays; device_put + passing params as an
+        # EXPLICIT jit argument keeps them out of the lowered HLO — closed-over
+        # numpy leaves are inlined as literal constants, which blows the
+        # compile RPC past the TPU tunnel's request-size limit (HTTP 413).
+        params_net = jax.device_put(select_params(model, state))
 
-        def gen_batch(key):
+        def gen_batch(params_net, key):
             noise = jax.random.normal(
                 key, (args.batch,) + tuple(config.model.input_shape), model.precision)
             cond = None
@@ -146,8 +150,8 @@ def main():
             init_acc, _, finalize = detector.stats_fns()
 
             @functools.partial(jax.jit, donate_argnums=0)
-            def fid_step(acc, key):
-                feats = detector._fwd(gen_batch(key)).astype(jnp.float32)
+            def fid_step(acc, params_net, key):
+                feats = detector._fwd(gen_batch(params_net, key)).astype(jnp.float32)
                 return {"n": acc["n"] + feats.shape[0],
                         "mu": acc["mu"] + feats.sum(axis=0),
                         "sigma": acc["sigma"] + feats.T @ feats}
@@ -155,7 +159,7 @@ def main():
             acc = init_acc()
             t0 = time.time()
             for bi in range(rank, n_batches, world):
-                acc = fid_step(acc, jax.random.fold_in(
+                acc = fid_step(acc, params_net, jax.random.fold_in(
                     jax.random.PRNGKey(args.seed), bi))
                 if bi == rank:  # first dispatch includes the compile
                     jax.block_until_ready(acc["n"])
@@ -184,7 +188,7 @@ def main():
                 # rank-strided: each process generates a disjoint seed range
                 for bi in range(rank, n_batches, world):
                     key = jax.random.fold_in(jax.random.PRNGKey(args.seed), bi)
-                    yield np.asarray(gen_jit(key))
+                    yield np.asarray(gen_jit(params_net, key))
 
             score = fid_lib.calc(sample_iter(), args.ref, detector=detector,
                                  max_samples=args.num_samples // world)

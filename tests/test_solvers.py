@@ -45,7 +45,8 @@ def test_dpm2m_second_order_convergence():
     x_init = jax.random.normal(KEY, (2, 8, 8, 3))
 
     def x0_fn(x, t):
-        return jnp.tanh(x) * (1.0 - 0.5 * float(t))
+        # t arrives as a *traced* scalar inside the solver's lax.scan
+        return jnp.tanh(x) * (1.0 - 0.5 * jnp.asarray(t, jnp.float32))
 
     def grid(steps):
         return np.linspace(0.9, 0.1, steps + 1)
