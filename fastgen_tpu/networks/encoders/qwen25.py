@@ -61,7 +61,12 @@ class Qwen25Attention(nn.Module):
     head_dim: int
 
     @nn.compact
-    def __call__(self, x, rope, mask_bias):
+    def __call__(self, x, rope, mask_bias, cache=None, start_pos=0):
+        """``cache=None``: full-sequence attention (encoding). With a cache
+        dict ``{"k","v"}`` of fixed [B, max_len, kvh, hd] buffers, the chunk's
+        post-RoPE k/v are written at ``start_pos`` (traced ok) and q attends
+        over the whole buffer — the fixed-shape KV-cache decode used by
+        :func:`generate`. Returns ``out`` or ``(out, new_cache)``."""
         b, n, _ = x.shape
         h, kvh, hd = self.num_heads, self.num_kv_heads, self.head_dim
         q = nn.Dense(h * hd, use_bias=True, name="q_proj")(x).reshape(b, n, h, hd)
@@ -70,6 +75,16 @@ class Qwen25Attention(nn.Module):
         cos, sin = rope
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
+        new_cache = None
+        if cache is not None:
+            start = jnp.asarray(start_pos, jnp.int32)
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, start, 0, 0)),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, start, 0, 0)),
+            }
+            k, v = new_cache["k"], new_cache["v"]
         if kvh != h:  # GQA
             rep = h // kvh
             k = jnp.repeat(k, rep, axis=2)
@@ -79,7 +94,8 @@ class Qwen25Attention(nn.Module):
         logits = logits + mask_bias
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, h * hd)
-        return nn.Dense(self.hidden, use_bias=False, name="o_proj")(out)
+        out = nn.Dense(self.hidden, use_bias=False, name="o_proj")(out)
+        return out if cache is None else (out, new_cache)
 
 
 class Qwen25MLP(nn.Module):
@@ -110,29 +126,49 @@ class Qwen25TextModel(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask: Optional[jnp.ndarray] = None
+    def __call__(self, input_ids, attention_mask: Optional[jnp.ndarray] = None,
+                 cache=None, start_pos=0
                  ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        """Encoding mode (``cache=None``): returns ``(last_hidden,
+        all_hidden_states)``. Decode mode (``cache`` = :func:`init_cache`
+        pytree): the [B, n] chunk is processed at absolute position
+        ``start_pos`` against the fixed-shape KV cache and the return is
+        ``(last_hidden, new_cache)`` — the contract :func:`generate`'s
+        lax.scan body uses."""
         b, n = input_ids.shape
         x = nn.Embed(self.vocab_size, self.hidden, name="embed_tokens")(input_ids)
 
-        pos = jnp.arange(n)
+        if cache is None:
+            pos = jnp.arange(n)
+            causal = pos[None, :] <= pos[:, None]               # [q, k]
+            pad_ok = (jnp.ones((b, n), bool) if attention_mask is None
+                      else attention_mask.astype(bool))
+            ok = causal[None, None] & pad_ok[:, None, None, :]
+        else:
+            start = jnp.asarray(start_pos, jnp.int32)
+            pos = start + jnp.arange(n)
+            k_pos = jnp.arange(cache[0]["k"].shape[1])
+            # causal over absolute positions; unwritten cache tail is at
+            # k_pos > start + n - 1, already excluded by the same predicate
+            ok = (k_pos[None, :] <= pos[:, None])[None, None]
         rope = _rope_cos_sin(pos, self.head_dim, self.rope_theta)
-
-        causal = pos[None, :] <= pos[:, None]                   # [q, k]
-        pad_ok = (jnp.ones((b, n), bool) if attention_mask is None
-                  else attention_mask.astype(bool))
-        ok = causal[None, None] & pad_ok[:, None, None, :]
         # finite min, matching torch: fully-masked pad query rows softmax to
         # uniform instead of NaN
         bias = jnp.where(ok, 0.0, jnp.finfo(jnp.float32).min).astype(jnp.float32)
 
         hidden_states = [x]
+        new_cache = []
         for i in range(self.num_layers):
             res = x
             y = QwenRMSNorm(self.hidden, self.eps, name=f"layers_{i}_input_ln")(x)
-            y = Qwen25Attention(self.hidden, self.num_heads, self.num_kv_heads,
-                                self.head_dim, name=f"layers_{i}_attn")(
-                y, rope, bias)
+            attn = Qwen25Attention(self.hidden, self.num_heads,
+                                   self.num_kv_heads, self.head_dim,
+                                   name=f"layers_{i}_attn")
+            if cache is None:
+                y = attn(y, rope, bias)
+            else:
+                y, lc = attn(y, rope, bias, cache=cache[i], start_pos=start_pos)
+                new_cache.append(lc)
             x = res + y
             res = x
             y = QwenRMSNorm(self.hidden, self.eps,
@@ -143,8 +179,88 @@ class Qwen25TextModel(nn.Module):
             if i < self.num_layers - 1:
                 hidden_states.append(x)
         x = QwenRMSNorm(self.hidden, self.eps, name="norm")(x)
+        if cache is not None:
+            return x, new_cache
         hidden_states.append(x)
         return x, tuple(hidden_states)
+
+
+def init_cache(model: "Qwen25TextModel", batch: int, max_len: int,
+               dtype=jnp.float32):
+    """Fixed-shape per-layer KV cache pytree for :func:`generate` (the same
+    static-shape + ``dynamic_update_slice`` layout as the CausalWan caches,
+    ``networks/wan/network.py``)."""
+    shape = (batch, max_len, model.num_kv_heads, model.head_dim)
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(model.num_layers)]
+
+
+def lm_logits(model: "Qwen25TextModel", params, hidden):
+    """Token logits from the final hidden state. Qwen2.5-7B ships an untied
+    ``lm_head``; when the converter kept it (``convert_qwen25(...,
+    keep_lm_head=True)``) it is used, otherwise the embedding is transposed
+    (the tied-weights convention of the smaller Qwen2.5 checkpoints)."""
+    p = params["params"]
+    if "lm_head" in p:
+        w = p["lm_head"]["kernel"]                  # [hidden, vocab]
+        return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+    emb = p["embed_tokens"]["embedding"]            # [vocab, hidden]
+    return hidden.astype(jnp.float32) @ emb.astype(jnp.float32).T
+
+
+def generate(model: "Qwen25TextModel", params, prompt_ids,
+             max_new_tokens: int, temperature: float = 0.0,
+             key: Optional[jax.Array] = None, eos_id: Optional[int] = None,
+             cache_dtype=jnp.float32):
+    """KV-cached autoregressive decoding, TPU-native: one jitted prefill over
+    the prompt, then a single ``lax.scan`` whose body is the one-token decode
+    step (fixed shapes throughout; the cache is scan-carried so XLA keeps it
+    on device and updates in place).
+
+    The in-framework equivalent of the reference's Qwen prompt-expansion
+    generation (``third_party/wan_prompt_expand``), also used by
+    ``utils/prompt_expand.FlaxQwenPromptExpander``.
+
+    Returns ``tokens [B, max_new_tokens]`` (int32); positions after an
+    ``eos_id`` hit repeat ``eos_id``.
+    """
+    b, plen = prompt_ids.shape
+    max_len = plen + max_new_tokens
+    cache = init_cache(model, b, max_len, cache_dtype)
+    key = jax.random.PRNGKey(0) if key is None else key
+    eos = -1 if eos_id is None else int(eos_id)
+
+    @jax.jit
+    def prefill(params, ids, cache):
+        h, cache = model.apply(params, ids, cache=cache, start_pos=0)
+        logits = lm_logits(model, params, h[:, -1])
+        return logits, cache
+
+    def sample_tok(logits, k):
+        if temperature and temperature > 0:
+            return jax.random.categorical(k, logits / temperature, axis=-1)
+        return jnp.argmax(logits, axis=-1)
+
+    @jax.jit
+    def decode_all(params, logits0, cache, key):
+        def step(carry, k):
+            cache, logits, pos, done = carry
+            tok = sample_tok(logits, k).astype(jnp.int32)
+            done = done | (tok == eos)
+            tok = jnp.where(done & (eos >= 0), eos, tok)
+            h, cache = model.apply(params, tok[:, None], cache=cache,
+                                   start_pos=pos)
+            logits = lm_logits(model, params, h[:, -1])
+            return (cache, logits, pos + 1, done), tok
+
+        keys = jax.random.split(key, max_new_tokens)
+        init = (cache, logits0, jnp.asarray(plen, jnp.int32),
+                jnp.zeros((b,), bool))
+        _, toks = jax.lax.scan(step, init, keys)
+        return toks.T                                # [B, T]
+
+    logits0, cache = prefill(params, prompt_ids.astype(jnp.int32), cache)
+    return decode_all(params, logits0, cache, key)
 
 
 def mean_normalize(x, eps: float = 1e-8):
@@ -174,16 +290,22 @@ def combine_hidden_states(hidden_states, strategy: str = "full_concat",
     raise ValueError(f"Invalid embedding_concat_strategy: {strategy}")
 
 
-def convert_qwen25(sd: dict) -> dict:
+def convert_qwen25(sd: dict, keep_lm_head: bool = False) -> dict:
     """Map a transformers Qwen2.5(-VL) state dict to :class:`Qwen25TextModel`
     params. Accepts ``Qwen2_5_VLForConditionalGeneration`` keys (vision tower
-    + lm_head ignored; ``model.``/``language_model.`` prefixes stripped) or a
-    bare text-model dict."""
+    ignored; ``model.``/``language_model.`` prefixes stripped) or a bare
+    text-model dict. ``keep_lm_head`` retains the untied output head for
+    :func:`generate` (encoding-only use drops it)."""
     import re
 
+    lm_head = None
     clean = {}
     for k, v in sd.items():
-        if k.startswith(("visual.", "model.visual.")) or "lm_head" in k:
+        if k.startswith(("visual.", "model.visual.")):
+            continue
+        if "lm_head" in k:
+            if keep_lm_head:
+                lm_head = np.asarray(v)
             continue
         k = re.sub(r"^(model\.)?(language_model\.)?(model\.)?", "", k)
         clean[k] = np.asarray(v)
@@ -218,4 +340,6 @@ def convert_qwen25(sd: dict) -> dict:
             put(f"layers_{i}_mlp.{nm}.kernel",
                 dense(clean[src + f"mlp.{nm}.weight"]))
     put("norm.weight", clean["norm.weight"])
+    if lm_head is not None:
+        put("lm_head.kernel", dense(lm_head))
     return {"params": p}

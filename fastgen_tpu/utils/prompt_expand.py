@@ -177,12 +177,114 @@ class QwenPromptExpander(PromptExpander):
     extend_with_img = extend  # VL variant needs a local Qwen-VL; same contract
 
 
-def make_prompt_expander(model_name: Optional[str] = None,
+class FlaxQwenPromptExpander(PromptExpander):
+    """In-framework Qwen2.5 rewriter: the flax :class:`Qwen25TextModel`
+    decoder (``networks/encoders/qwen25.py``) with its KV-cached
+    ``lax.scan`` generation loop — no torch in the loop; the decode runs as
+    one compiled XLA program per (prompt_len, max_new_tokens) shape.
+
+    ``model_name`` points at a local transformers checkpoint directory
+    (weights via ``convert_qwen25(..., keep_lm_head=True)``, tokenizer via
+    ``AutoTokenizer(local_files_only=True)``). Tests drive the same path at
+    toy size by passing ``model=``/``params=``/``tokenizer=`` directly.
+    """
+
+    def __init__(self, model_name: Optional[str] = None, is_vl: bool = False,
+                 max_new_tokens: int = 256, model=None, params=None,
+                 tokenizer=None, pad_prompt_to: int = 64, **kwargs):
+        super().__init__(model_name, is_vl=is_vl)
+        self.max_new_tokens = max_new_tokens
+        self.pad_prompt_to = pad_prompt_to
+        if model is not None:
+            self.model, self.params, self.tokenizer = model, params, tokenizer
+            return
+        import glob
+        import json
+        import os
+
+        from transformers import AutoTokenizer
+
+        from fastgen_tpu.networks.encoders.qwen25 import (Qwen25TextModel,
+                                                          convert_qwen25)
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name,
+                                                       local_files_only=True)
+        with open(os.path.join(model_name, "config.json")) as f:
+            cfg = json.load(f)
+        sd = {}
+        shards = sorted(glob.glob(os.path.join(model_name, "*.safetensors")))
+        if shards:
+            from safetensors.numpy import load_file
+
+            for s in shards:
+                sd.update(load_file(s))
+        else:
+            import torch
+
+            for s in sorted(glob.glob(os.path.join(model_name,
+                                                   "pytorch_model*.bin"))):
+                sd.update({k: v.numpy() for k, v in
+                           torch.load(s, map_location="cpu").items()})
+        self.model = Qwen25TextModel(
+            vocab_size=cfg.get("vocab_size", 152064),
+            hidden=cfg.get("hidden_size", 3584),
+            intermediate=cfg.get("intermediate_size", 18944),
+            num_layers=cfg.get("num_hidden_layers", 28),
+            num_heads=cfg.get("num_attention_heads", 28),
+            num_kv_heads=cfg.get("num_key_value_heads", 4),
+            rope_theta=cfg.get("rope_theta", 1e6))
+        self.params = convert_qwen25(sd, keep_lm_head=True)
+
+    def _encode(self, system_prompt: str, prompt: str):
+        if hasattr(self.tokenizer, "apply_chat_template"):
+            text = self.tokenizer.apply_chat_template(
+                [{"role": "system", "content": system_prompt},
+                 {"role": "user", "content": prompt}],
+                tokenize=False, add_generation_prompt=True)
+            return self.tokenizer(text)["input_ids"], self.tokenizer.eos_token_id
+        return self.tokenizer(f"{system_prompt}\n{prompt}"), None
+
+    def extend(self, prompt, system_prompt, seed=-1, **kwargs) -> PromptOutput:
+        import numpy as np
+        import jax
+
+        from fastgen_tpu.networks.encoders.qwen25 import generate
+
+        ids, eos_id = self._encode(system_prompt, prompt)
+        # pad the prompt length up to a bucket so repeat calls reuse the
+        # compiled prefill instead of re-jitting per prompt length
+        plen = max(self.pad_prompt_to,
+                   -(-len(ids) // self.pad_prompt_to) * self.pad_prompt_to)
+        pad_id = eos_id if eos_id is not None else 0
+        padded = np.full((1, plen), pad_id, np.int32)
+        padded[0, plen - len(ids):] = ids     # left-pad: generation continues
+        toks = np.asarray(generate(
+            self.model, self.params, padded, self.max_new_tokens,
+            temperature=0.7 if seed >= 0 else 0.0,
+            key=jax.random.PRNGKey(max(seed, 0)), eos_id=eos_id))[0]
+        if eos_id is not None:
+            cut = np.nonzero(toks == eos_id)[0]
+            toks = toks[:cut[0]] if cut.size else toks
+        if hasattr(self.tokenizer, "decode"):
+            expanded = self.tokenizer.decode(toks.tolist(),
+                                             skip_special_tokens=True).strip()
+        else:
+            expanded = " ".join(str(t) for t in toks.tolist())
+        return PromptOutput(status=True, prompt=expanded or prompt,
+                            seed=max(seed, 0), system_prompt=system_prompt)
+
+    extend_with_img = extend
+
+
+def make_prompt_expander(model_name: Optional[str] = None, backend: str = "flax",
                          **kwargs) -> PromptExpander:
-    """Qwen if a local model is available, else the template expander."""
+    """Qwen if a local model is available (flax in-framework decode by
+    default, ``backend="torch"`` for the HF generate path), else the
+    template expander."""
     if model_name:
+        cls = FlaxQwenPromptExpander if backend == "flax" else QwenPromptExpander
         try:
-            return QwenPromptExpander(model_name, **kwargs)
+            return cls(model_name, **kwargs)
         except Exception as e:  # noqa: BLE001 - offline fallback
             logger.warning(f"Qwen prompt expander unavailable ({e}); "
                            "falling back to TemplatePromptExpander")

@@ -25,6 +25,10 @@ ROOT=${FASTGEN_OUTPUT_ROOT:-FASTGEN_OUTPUT}
 DATA=$ROOT/DATA
 LOGS=${QUALITY_LOGS:-quality/v5}
 RUN_TAG=${RUN_TAG:-v5}
+# the student run can carry its own tag so an extended-teacher rerun can
+# distill a FRESH student (instead of resuming one trained against the
+# shorter teacher)
+STUDENT_TAG=${STUDENT_TAG:-$RUN_TAG}
 mkdir -p "$DATA/fid-refs" "$LOGS"
 
 TEACHER_ITERS=${TEACHER_ITERS:-12000}
@@ -92,6 +96,15 @@ if [ ! -f "$DATA/fid-refs/procgen-32x32.npz" ]; then
     exit 1
 fi
 
+log "stage: dataset floor (split-half, same detector as the FID rows)"
+if [ ! -f "$LOGS/floor.json" ]; then
+    timeout 1800 python scripts/fid/dataset_floor.py \
+        --dataset "$DATA/procgen-32x32.zip" \
+        --detector_path=random:0 \
+        --out "$LOGS/floor.json" \
+        > "$LOGS/floor.log" 2>&1 || log "floor rc=$?"
+fi
+
 log "stage: teacher FID (35-step, ${FID_SAMPLES} samples, last ckpt only)"
 TLAST=$(ls "$TCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
 if [ -n "$TLAST" ] && [ ! -f "$LOGS/fid_teacher_${TLAST}.json" ]; then
@@ -106,14 +119,14 @@ if [ -n "$TLAST" ] && [ ! -f "$LOGS/fid_teacher_${TLAST}.json" ]; then
 fi
 
 log "stage: student (${STUDENT_ITERS}-iter DMD2 distill from $RUN_TAG teacher)"
-SCKPT=$ROOT/fastgen/procgen/dmd2_procgen_$RUN_TAG/checkpoints
+SCKPT=$ROOT/fastgen/procgen/dmd2_procgen_$STUDENT_TAG/checkpoints
 SLAST=$(ls "$SCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
 if [ -z "$SLAST" ] || [ "$SLAST" -lt "$STUDENT_ITERS" ]; then
     with_graceful_budget $STUDENT_BUDGET python train.py \
         --config=fastgen_tpu/configs/experiments/EDM/config_dmd2_procgen.py \
         - trainer.max_iter=$STUDENT_ITERS trainer.save_ckpt_iter=$STUDENT_SAVE_ITER \
           trainer.validation_iter=0 \
-          log_config.name=dmd2_procgen_$RUN_TAG \
+          log_config.name=dmd2_procgen_$STUDENT_TAG \
           model.pretrained_model_path="$TCKPT" \
         > "$LOGS/student.log" 2>&1 || log "student stage rc=$? (using last ckpt)"
 else
@@ -128,7 +141,7 @@ if [ -n "$SLAST" ] && [ ! -f "$LOGS/fid_student_${SLAST}.json" ]; then
         --ref "$DATA/fid-refs/procgen-32x32.npz" \
         --detector_path=random:0 \
         --num_samples $FID_SAMPLES --min_ckpt $SLAST \
-        - log_config.name=dmd2_procgen_$RUN_TAG \
+        - log_config.name=dmd2_procgen_$STUDENT_TAG \
         > "$LOGS/fid_student.log" 2>&1 || log "student fid rc=$?"
     cp -f "$SCKPT/fid.json" "$LOGS/fid_student_${SLAST}.json" 2>/dev/null || true
 fi

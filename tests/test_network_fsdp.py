@@ -112,7 +112,7 @@ def _module_cases():
                 {"text_embeds": jax.random.normal(KEY, (b, 6, 32))})
 
     def flux_case():
-        net = Flux(dim=96, num_layers=2, num_single_layers=2, num_heads=4,
+        net = Flux(dim=128, num_layers=2, num_single_layers=2, num_heads=4,
                    in_channels=4, text_dim=32, pooled_dim=16)
         x = jax.random.normal(KEY, (8, 8, 8, 4))
         t = jnp.full((8,), 0.7, jnp.float32)

@@ -59,7 +59,7 @@ class TestSDUNet:
 
 class TestFlux:
     def test_forward_and_guidance(self):
-        net = Flux(dim=96, num_layers=2, num_single_layers=2, num_heads=4,
+        net = Flux(dim=128, num_layers=2, num_single_layers=2, num_heads=4,
                    in_channels=4, text_dim=32, pooled_dim=16)
         x, t, _ = video_inputs()
         x = jax.random.normal(KEY, (2, 8, 8, 4))
