@@ -20,10 +20,11 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
+from typing import Dict, Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from fastgen_tpu.callbacks.callback import Callback
 from fastgen_tpu.parallel.mesh import is_rank0
@@ -69,6 +70,14 @@ class WandbCallback(Callback):
             self._file.write(json.dumps(record) + "\n")
             self._file.flush()
 
+    # flush the pending window even off the logging_iter boundary once it
+    # holds this many iterations' scalars: thousands of live tiny device
+    # buffers degrade dispatch, and fetching them one-by-one at the boundary
+    # is a round-trip per buffer — a resumed run whose first boundary sat
+    # ~1000 iters out stalled for minutes in exactly that device_get
+    # (quality/v5/teacher.log faulthandler dump, callbacks/basic.py:83)
+    MAX_PENDING = 200
+
     def on_training_step_end(self, model, state=None, data_batch=None,
                              loss_map=None, outputs=None, iteration=0):
         # Keep the device scalars as-is: a per-iteration float(v) is a
@@ -77,21 +86,40 @@ class WandbCallback(Callback):
         # host from running ahead of the async dispatch queue.
         if loss_map:
             self._pending.append(dict(loss_map))
-        if iteration % self.logging_iter == 0 and self._pending:
+        flush = (iteration % self.logging_iter == 0
+                 or len(self._pending) >= self.MAX_PENDING)
+        if flush and self._pending:
             if is_rank0():
-                # ONE transfer for the whole window
-                window = jax.device_get(self._pending)
-                sums = {}
-                for lm in window:
+                # ONE on-device stack per key, then one transfer per key —
+                # constant round-trips regardless of the window length
+                # (device_get over the raw list is a round-trip per scalar)
+                per_key: Dict[str, list] = {}
+                for lm in self._pending:
                     for k, v in lm.items():
-                        try:
-                            sums[k] = sums.get(k, 0.0) + float(v)
-                        except (TypeError, ValueError):
+                        per_key.setdefault(k, []).append(v)
+                stacked = {}
+                for k, vs in per_key.items():
+                    try:
+                        vals = [jnp.asarray(v, jnp.float32) for v in vs]
+                        # scalars only, like float(v) before: non-scalar
+                        # entries (per-sample losses, grids) are not metrics
+                        if any(v.ndim != 0 for v in vals):
                             continue
-                record = {"iteration": int(iteration)}
-                for k, s in sums.items():
-                    record[f"train/{k}"] = s / len(window)
-                self._log(record)
+                        stacked[k] = jnp.stack(vals)
+                    except (TypeError, ValueError):
+                        continue
+                window = jax.device_get(stacked)
+                self._sums = getattr(self, "_sums", {})
+                self._counts = getattr(self, "_counts", {})
+                for k, arr in window.items():
+                    self._sums[k] = self._sums.get(k, 0.0) + float(arr.sum())
+                    self._counts[k] = self._counts.get(k, 0) + arr.size
+                if iteration % self.logging_iter == 0:
+                    record = {"iteration": int(iteration)}
+                    for k, s in self._sums.items():
+                        record[f"train/{k}"] = s / max(self._counts[k], 1)
+                    self._log(record)
+                    self._sums, self._counts = {}, {}
             self._pending = []
 
     def _dump_grid(self, model, gen, name: str):

@@ -25,6 +25,15 @@ def create_config():
     config = create_cifar_config()
     config.log_config.group = "procgen"
     config.log_config.name = "sft_edm_procgen"
+    # HBM + live-array census every 500 iters: the quality-pipeline runs have
+    # shown a progressive slowdown ~1k iters into a session (QUALITY.md); these
+    # rows tell leak-on-device apart from host/data-path degradation
+    from fastgen_tpu.configs.callbacks import (GPUStats_CALLBACK,
+                                               MemTracker_CALLBACK)
+
+    config.trainer.callbacks.update(**GPUStats_CALLBACK, **MemTracker_CALLBACK)
+    for cb in ("device_stats", "mem_tracker"):
+        config.trainer.callbacks[cb].logging_iter = 500
     config.dataloader_train.dataset_path = f"{DATA_ROOT_DIR}/procgen-32x32.zip"
     # procgen textures are globally structured: lighter augmentation than the
     # CIFAR recipe (rotations/flips stay label-preserving for all 10 classes);

@@ -9,10 +9,18 @@ Usage (same surface as the reference)::
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import os
+import signal
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# `kill -USR1 <pid>` dumps every thread's Python stack to stderr without
+# stopping the run — the first diagnostic for a stalled training loop
+# (device hang vs data-loader hang vs logging hang look identical from
+# the iteration log).
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 
 def parse_args():
