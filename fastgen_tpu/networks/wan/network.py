@@ -142,8 +142,12 @@ class WanSelfAttention(nn.Module):
             cos, sin = rope
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
+        # remat_name: lets the "save_attn" block-remat policy save this
+        # attention's (out, lse) so its forward kernel never re-runs in the
+        # backward recompute (ops/kernels/flash_attention.py save_attn_policy)
         out = dot_product_attention(q, k, v, impl=self.attn_impl,
-                                    causal_block=causal_block)
+                                    causal_block=causal_block,
+                                    remat_name="wan_self_attn")
         b, n, h, d = out.shape
         return self.to_out(out.reshape(b, n, h * d))
 
@@ -254,6 +258,10 @@ class WanBlock(nn.Module):
     #           attention segments are covered by the outer block remat
     #           alone, so flash forward runs 2x instead of 3x (~1 GB more
     #           backward workspace, measurably higher train MFU)
+    #   "save_attn" — "ffn" segments here, plus the OUTER block remat saves
+    #           the self-attention (out, lse) by name (WanVideoDiT wires the
+    #           save_attn_policy): flash forward runs exactly 1x per step —
+    #           ~100 MB bf16 saved per block at 32,760 tokens
     remat_inner_mode: str = "all"
 
     def setup(self):
@@ -413,6 +421,20 @@ class WanVideoDiT(FastGenNetwork):
     @property
     def head_dim(self) -> int:
         return self.dim // self.num_heads
+
+    def _remat_policy(self):
+        """Checkpoint policy for the per-block remat (scan body / py-loop).
+
+        ``remat_inner_mode="save_attn"``: save each block's self-attention
+        (out, lse) across the remat boundary so the backward recompute skips
+        the flash forward — the biggest single FLOP sink of the 32k-token
+        diffusion-forcing step (block-causal attention is ~60% of per-layer
+        forward FLOPs at 21f@480p). Costs ~100 MB bf16 per block."""
+        if self.remat_inner_mode == "save_attn":
+            from fastgen_tpu.ops.kernels.flash_attention import save_attn_policy
+
+            return save_attn_policy("wan_self_attn")
+        return None
 
     def setup(self):
         self.patch_embedding = nn.Conv(
@@ -581,7 +603,8 @@ class WanVideoDiT(FastGenNetwork):
                 if self.remat:
                     # prevent_cse=False: lax.scan's loop body is already a CSE
                     # barrier, and it lets XLA fuse the block cleanly
-                    _body = nn.remat(_body, prevent_cse=False)
+                    _body = nn.remat(_body, prevent_cse=False,
+                                     policy=self._remat_policy())
                 scan = nn.scan(_body, variable_axes={"params": 0},
                                split_rngs={"params": True},
                                in_axes=(nn.broadcast,) * 4,
@@ -602,8 +625,8 @@ class WanVideoDiT(FastGenNetwork):
                         return blk(x_, tp_, ctx_, (cos_, sin_), frame_seqlen,
                                    causal_block=causal_block)[0]
 
-                    x = shard_seq(nn.remat(_blk)(block, x, timestep_proj,
-                                                 context, cos, sin))
+                    x = shard_seq(nn.remat(_blk, policy=self._remat_policy())(
+                        block, x, timestep_proj, context, cos, sin))
                 else:
                     x, _ = block(x, timestep_proj, context, (cos, sin),
                                  frame_seqlen, causal_block=causal_block)

@@ -45,8 +45,16 @@ def _xla_attention(q, k, v, bias=None, mask=None, scale=None,
 
 def dot_product_attention(q, k, v, bias=None, mask=None, scale=None,
                           impl: Optional[str] = None,
-                          causal_block: Optional[int] = None):
-    """Multi-head attention over [B, N, H, D] tensors."""
+                          causal_block: Optional[int] = None,
+                          remat_name: Optional[str] = None):
+    """Multi-head attention over [B, N, H, D] tensors.
+
+    ``remat_name`` tags the attention output (and the flash kernel's
+    logsumexp residual) with ``jax.ad_checkpoint.checkpoint_name`` so a
+    block-level ``jax.checkpoint`` with ``save_attn_policy(remat_name)``
+    saves them across the remat boundary — the backward recompute then skips
+    the attention forward (kernels/flash_attention.py ``_flash_attach``).
+    Inert without a matching policy."""
     impl = impl or os.environ.get("FASTGEN_ATTN_IMPL", "auto")
     n = q.shape[1]
 
@@ -71,6 +79,14 @@ def dot_product_attention(q, k, v, bias=None, mask=None, scale=None,
     if use_flash:
         from fastgen_tpu.ops.kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale, causal_block=causal_block)
-    return _xla_attention(q, k, v, bias=bias, mask=mask, scale=scale,
-                          causal_block=causal_block)
+        return flash_attention(q, k, v, scale=scale, causal_block=causal_block,
+                               remat_name=remat_name)
+    out = _xla_attention(q, k, v, bias=bias, mask=mask, scale=scale,
+                         causal_block=causal_block)
+    if remat_name:
+        # XLA path: saving the output still spares the downstream recompute
+        # (the softmax backward re-derives its own internals either way)
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, remat_name + "_out")
+    return out

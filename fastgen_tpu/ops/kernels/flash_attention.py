@@ -636,31 +636,71 @@ def _xla_reference(q, k, v, scale, causal_block):
     return jnp.einsum("bqk,bkd->bqd", probs, v.astype(jnp.float32)).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_core(q, k, v, scale, causal_block, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
-                          interpret=interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attach(q, k, v, out, lse, scale, causal_block, block_q, block_k,
+                  interpret):
+    """Identity on ``out`` that carries the flash backward.
+
+    The forward kernel runs OUTSIDE the custom_vjp (on stop_gradient'd
+    inputs), and its (out, lse) enter here as primal arguments. This makes
+    the backward's residuals exactly the values a ``jax.checkpoint`` policy
+    can save by name (see ``save_attn_policy``): under block remat with
+    ``save_only_these_names`` the recompute graph reads the saved (out, lse)
+    and the forward pallas_call is dead code — the flash forward runs ONCE
+    per step instead of once per remat recompute. With the fwd kernel inside
+    the custom_vjp (the usual structure), linearization re-invokes the fwd
+    rule during the recompute and no policy can prevent it (verified at
+    jaxpr level in tests/test_flash_attention.py remat-count test)."""
+    return out
 
 
-def _flash_core_fwd(q, k, v, scale, causal_block, block_q, block_k, interpret):
-    out, lse = _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
-                              interpret=interpret)
+def _flash_attach_fwd(q, k, v, out, lse, scale, causal_block, block_q,
+                      block_k, interpret):
     return out, (q, k, v, out, lse)
 
 
-def _flash_core_bwd(scale, causal_block, block_q, block_k, interpret, res, g):
+def _flash_attach_bwd(scale, causal_block, block_q, block_k, interpret,
+                      res, g):
     q, k, v, o, lse = res
-    return _flash_backward(q, k, v, o, lse, g, scale, causal_block,
-                           block_q, block_k, interpret=interpret)
+    dq, dk, dv = _flash_backward(q, k, v, o, lse, g, scale, causal_block,
+                                 block_q, block_k, interpret=interpret)
+    # out/lse cotangents flow into stop_gradient'd values and are DCE'd
+    return dq, dk, dv, jnp.zeros_like(o), jnp.zeros_like(lse)
 
 
-_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+_flash_attach.defvjp(_flash_attach_fwd, _flash_attach_bwd)
+
+
+def _flash_core(q, k, v, scale, causal_block, block_q, block_k, interpret,
+                remat_name: Optional[str] = None):
+    sg = jax.lax.stop_gradient
+    out, lse = _flash_forward(sg(q), sg(k), sg(v), scale, causal_block,
+                              block_q, block_k, interpret=interpret)
+    if remat_name:
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, remat_name + "_out")
+        lse = checkpoint_name(lse, remat_name + "_lse")
+    return _flash_attach(q, k, v, out, lse, scale, causal_block, block_q,
+                         block_k, interpret)
+
+
+def save_attn_policy(*names: str):
+    """``jax.checkpoint`` policy saving the named flash attention outputs.
+
+    Pass the same ``remat_name`` strings given to ``flash_attention``; the
+    policy saves each call's (out, lse) across a remat boundary so the
+    backward recompute skips the flash forward entirely (it re-runs only the
+    cheap q/k/v projections feeding the backward kernels)."""
+    tags = [n + suffix for n in names for suffix in ("_out", "_lse")]
+    return jax.checkpoint_policies.save_only_these_names(*tags)
 
 
 def flash_attention(q, k, v, mask=None, scale: Optional[float] = None,
                     causal_block: Optional[int] = None,
                     block_q: int = 1600, block_k: int = 1024,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    remat_name: Optional[str] = None):
     """Flash attention over [B, Nq, H, D] x [B, Nkv, H, D]; returns
     [B, Nq, H, D]. Cross-attention (Nq != Nkv) is supported with
     ``causal_block=None``.
@@ -679,5 +719,6 @@ def flash_attention(q, k, v, mask=None, scale: Optional[float] = None,
         return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
 
     out = _flash_core(to_bh(q, n_q), to_bh(k, n_kv), to_bh(v, n_kv),
-                      float(scale), causal_block, block_q, block_k, interpret)
+                      float(scale), causal_block, block_q, block_k, interpret,
+                      remat_name=remat_name)
     return out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)

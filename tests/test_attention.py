@@ -265,3 +265,87 @@ def test_dispatcher_flash_cross():
     out_flash = _ref_cross(q, k, v)
     np.testing.assert_allclose(np.asarray(out_xla), np.asarray(out_flash),
                                rtol=2e-5, atol=2e-5)
+
+
+# --------------------------------------------------------------- remat policy
+def _count_fwd_kernels(jaxpr, acc=None):
+    """Count pallas_call eqns by outvar shapes, recursing into sub-jaxprs."""
+    from jax.extend import core as jex_core
+
+    acc = {} if acc is None else acc
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            shapes = tuple(tuple(v.aval.shape) for v in eqn.outvars)
+            acc[shapes] = acc.get(shapes, 0) + 1
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (tuple, list)) else [v]
+            for x in vs:
+                if isinstance(x, jex_core.ClosedJaxpr):
+                    _count_fwd_kernels(x.jaxpr, acc)
+                elif isinstance(x, jex_core.Jaxpr):
+                    _count_fwd_kernels(x, acc)
+    return acc
+
+
+def _remat_block(q_w, x, policy):
+    """Projection -> named flash -> ffn-ish block under jax.checkpoint."""
+    from fastgen_tpu.ops.kernels.flash_attention import flash_attention
+
+    def block(w, x):
+        q, k, v = x @ w["q"], x @ w["k"], x @ w["v"]
+        b, n, _ = q.shape
+        to4 = lambda t: t.reshape(b, n, 2, t.shape[-1] // 2)
+        a = flash_attention(to4(q), to4(k), to4(v), causal_block=64,
+                            interpret=True, block_q=128, block_k=128,
+                            remat_name="wan_self_attn")
+        h = x + a.reshape(b, n, -1)
+        return h + jnp.tanh(h @ w["f1"])
+
+    f = jax.checkpoint(block, policy=policy)
+    return jnp.sum(f(q_w, x) ** 2)
+
+
+def test_save_attn_policy_skips_fwd_recompute():
+    """With save_attn_policy the flash forward kernel appears ONCE in the vjp
+    jaxpr (primal only); plain remat recomputes it (2x). Grads identical."""
+    from fastgen_tpu.ops.kernels.flash_attention import save_attn_policy
+
+    d = 32
+    x = jax.random.normal(KEY, (1, 256, d), jnp.float32)
+    w = {nm: jax.random.normal(jax.random.fold_in(KEY, 40 + i), (d, d),
+                               jnp.float32)
+         for i, nm in enumerate(["q", "k", "v", "f1"])}
+
+    def fwd_count(policy):
+        jaxpr = jax.make_jaxpr(
+            lambda w_: jax.grad(_remat_block)(w_, x, policy))(w)
+        counts = _count_fwd_kernels(jaxpr.jaxpr)
+        # fwd kernel signature: (out [bh,n,d], lse [bh,n,8])
+        return sum(n for shapes, n in counts.items()
+                   if len(shapes) == 2 and shapes[0][-1] != shapes[1][-1])
+
+    assert fwd_count(None) == 2, "plain remat should recompute the flash fwd"
+    assert fwd_count(save_attn_policy("wan_self_attn")) == 1, \
+        "save_attn_policy must make the recompute's flash fwd dead code"
+
+    g_plain = jax.grad(_remat_block)(w, x, None)
+    g_saved = jax.grad(_remat_block)(w, x,
+                                     save_attn_policy("wan_self_attn"))
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_saved)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_remat_name_grad_matches_unnamed():
+    """The attach-grad restructuring must not change gradients at all."""
+    q, k, v = qkv(n=256)
+
+    def loss(q, name):
+        return (flash_attention(q, k, v, causal_block=64, interpret=True,
+                                remat_name=name) ** 2).sum()
+
+    g_named = jax.grad(loss)(q, "tag")
+    g_plain = jax.grad(loss)(q, None)
+    np.testing.assert_allclose(np.asarray(g_named), np.asarray(g_plain),
+                               rtol=1e-6, atol=1e-6)
