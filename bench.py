@@ -255,7 +255,13 @@ def bench_wan_train():
     # "ffn": only the [N, ffn_dim] FFN segment gets the inner remat; the
     # attention recompute rides the outer per-block remat alone (flash fwd
     # 2x/step instead of 3x) at ~1 GB more backward workspace
-    cfg.remat_inner_mode = os.environ.get("FASTGEN_BENCH_REMAT_MODE", "all")
+    # best measured single-chip config (see ops/kernels/flash_attention.py
+    # save_attn_policy and WanVideoDiT.scan_group): flash fwd runs once per
+    # step, two blocks per remat segment — 35.7% MFU vs 30.1% for the plain
+    # per-block "all" remat on a 16 GB v5e
+    cfg.remat_inner_mode = os.environ.get("FASTGEN_BENCH_REMAT_MODE",
+                                          "save_attn")
+    cfg.scan_group = int(os.environ.get("FASTGEN_BENCH_SCAN_GROUP", "2"))
     net = instantiate(cfg)
     key = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16

@@ -262,6 +262,10 @@ class WanBlock(nn.Module):
     #           the self-attention (out, lse) by name (WanVideoDiT wires the
     #           save_attn_policy): flash forward runs exactly 1x per step —
     #           ~100 MB bf16 saved per block at 32,760 tokens
+    #   "offload_attn" — "save_attn" but the saved (out, lse) live in pinned
+    #           host memory instead of HBM (the ~2.8 GB 30-block stack does
+    #           not fit a 16 GB v5e next to params+grads; the 94 MB/block
+    #           PCIe transfers hide under ~200 ms of block compute)
     remat_inner_mode: str = "all"
 
     def setup(self):
@@ -405,6 +409,14 @@ class WanVideoDiT(FastGenNetwork):
     # see WanBlock.remat_inner_mode ("all" = min memory, "ffn" = min
     # attention recompute)
     remat_inner_mode: str = "all"
+    # blocks per remat segment under scan_blocks: the outer remat saves ONE
+    # carry per segment, so group g shrinks the [L, B, N, D] carry stack by
+    # g at the cost of re-running g blocks per segment backward (same total
+    # recompute FLOPs, slightly more live workspace). Stored param layout is
+    # unchanged ([L, ...]); grouping reshapes to [L/g, g, ...] on the fly.
+    # Main use: scan_group=2 frees the ~1.4 GB that lets "save_attn" fit a
+    # 16 GB v5e next to params+grads at 32,760 tokens.
+    scan_group: int = 1
     # stacked-parameter lax.scan over the 30 identical blocks: the TPU-native
     # layout for long-sequence training — XLA compiles ONE block and the
     # scan loop hard-serializes per-block backward recomputation, bounding
@@ -429,11 +441,22 @@ class WanVideoDiT(FastGenNetwork):
         (out, lse) across the remat boundary so the backward recompute skips
         the flash forward — the biggest single FLOP sink of the 32k-token
         diffusion-forcing step (block-causal attention is ~60% of per-layer
-        forward FLOPs at 21f@480p). Costs ~100 MB bf16 per block."""
+        forward FLOPs at 21f@480p). Costs ~100 MB bf16 per block.
+
+        ``"offload_attn"``: same, but the saved values are staged to pinned
+        host memory — the 30-block save stack is ~2.8 GB, which does not fit
+        a 16 GB v5e next to params+grads+the carry stack; PCIe traffic is
+        94 MB/block each way, hidden under the block's ~200 ms of compute."""
         if self.remat_inner_mode == "save_attn":
             from fastgen_tpu.ops.kernels.flash_attention import save_attn_policy
 
             return save_attn_policy("wan_self_attn")
+        if self.remat_inner_mode == "offload_attn":
+            names = ["wan_self_attn_out", "wan_self_attn_lse"]
+            return jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=names,
+                offload_src="device", offload_dst="pinned_host")
         return None
 
     def setup(self):
@@ -594,6 +617,43 @@ class WanVideoDiT(FastGenNetwork):
                     batched=(timestep_proj, context),
                     mesh=pp_lib.get_active_mesh(),
                     num_microbatches=pp_lib.auto_microbatches(x.shape[0], pp))
+            elif (self.scan_group > 1 and not self.is_initializing()
+                  and self.num_layers % self.scan_group == 0):
+                # grouped scan: [L, ...] params reshaped to [L/g, g, ...];
+                # the remat boundary wraps g blocks, so the carry stack is
+                # [L/g, B, N, D] instead of [L, B, N, D]
+                g = self.scan_group
+                stacked = self.variables["params"]["blocks"]
+                block = self.block_stack.clone()
+                grouped = jax.tree_util.tree_map(
+                    lambda a: a.reshape((self.num_layers // g, g)
+                                        + a.shape[1:]), stacked)
+
+                def _apply(y, p):
+                    out, _ = block.apply(
+                        {"params": p}, y, timestep_proj, context,
+                        (cos, sin), frame_seqlen, causal_block=causal_block)
+                    return shard_seq(out)
+
+                if self.remat:
+                    # nested remat: the inner per-block checkpoint keeps each
+                    # block's interior transient during the group's backward
+                    # (without it the inner scan stacks f32 [g, B, N, D]
+                    # residuals per intermediate); the policy on BOTH levels
+                    # keeps the saved attention dead in every recompute
+                    _apply = jax.checkpoint(_apply, prevent_cse=False,
+                                            policy=self._remat_policy())
+
+                def _group_body(carry, p_group):
+                    y, _ = jax.lax.scan(
+                        lambda y_, p_: (_apply(y_, p_), None), carry, p_group)
+                    return y, None
+
+                if self.remat:
+                    _group_body = jax.checkpoint(
+                        _group_body, prevent_cse=False,
+                        policy=self._remat_policy())
+                x, _ = jax.lax.scan(_group_body, x, grouped)
             else:
                 def _body(blk, carry, tp_, ctx_, cos_, sin_):
                     y, _ = blk(carry, tp_, ctx_, (cos_, sin_), frame_seqlen,
