@@ -262,6 +262,8 @@ def bench_wan_train():
     cfg.remat_inner_mode = os.environ.get("FASTGEN_BENCH_REMAT_MODE",
                                           "save_attn")
     cfg.scan_group = int(os.environ.get("FASTGEN_BENCH_SCAN_GROUP", "2"))
+    cfg.residual_f32 = os.environ.get("FASTGEN_BENCH_RESIDUAL_F32",
+                                      "1") == "1"
     net = instantiate(cfg)
     key = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16

@@ -267,20 +267,31 @@ class WanBlock(nn.Module):
     #           not fit a 16 GB v5e next to params+grads; the 94 MB/block
     #           PCIe transfers hide under ~200 ms of block compute)
     remat_inner_mode: str = "all"
+    # keep the residual stream in f32 (default) or the input dtype. bf16
+    # residuals match the reference's torch-autocast training numerics and
+    # halve the HBM traffic of every norm/modulation/residual-add fusion
+    # (the [N, D] stream is 201 MB f32 vs 100 MB bf16 at 32,760 tokens);
+    # norm statistics and the gated adds still accumulate in f32 inside the
+    # fusions (LayerNorm dtype=f32, gate multiply promotes), only what
+    # crosses fusion/kernel boundaries narrows.
+    residual_f32: bool = True
 
     def setup(self):
+        # dtype=f32: norm statistics always compute in f32 even when the
+        # residual stream is bf16 (residual_f32=False); no-op on f32 streams
         self.norm1 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                                  name="norm1")
+                                  dtype=jnp.float32, name="norm1")
         self.attn1 = WanSelfAttention(self.dim, self.num_heads, self.qk_norm,
                                       self.attn_impl, name="attn1")
-        self.norm2 = (nn.LayerNorm(epsilon=1e-6, name="norm2")
+        self.norm2 = (nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                   name="norm2")
                       if self.cross_attn_norm else
                       nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                                   name="norm2"))
+                                   dtype=jnp.float32, name="norm2"))
         self.attn2 = WanCrossAttention(self.dim, self.num_heads, self.qk_norm,
                                        self.attn_impl, name="attn2")
         self.norm3 = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                                  name="norm3")
+                                  dtype=jnp.float32, name="norm3")
         self.ffn = WanFFN(self.dim, self.ffn_dim, name="ffn")
         self.scale_shift_table = self.param(
             "scale_shift_table",
@@ -318,27 +329,31 @@ class WanBlock(nn.Module):
                  store_kv: bool = True):
         (shift_msa, scale_msa, gate_msa,
          c_shift, c_scale, c_gate) = self._mod_params(temb)
+        # residual-stream dtype: what crosses fusion/kernel boundaries.
+        # The gated adds below still accumulate in f32 either way (the f32
+        # gate promotes the add), and norm stats are f32 via LayerNorm dtype.
+        rdt = jnp.float32 if self.residual_f32 else x.dtype
 
         def seg_self(mdl, x_):
-            xf = x_.astype(jnp.float32)
+            xf = x_.astype(rdt)
             norm_x = mdl._mod(mdl.norm1(xf), scale_msa, shift_msa).astype(x_.dtype)
             attn_out = mdl.attn1(norm_x, rope=rope, causal_block=causal_block)
             return (xf + mdl._gate(attn_out.astype(jnp.float32),
                                    gate_msa)).astype(x_.dtype)
 
         def seg_cross(mdl, x_):
-            norm_x = mdl.norm2(x_.astype(jnp.float32)).astype(x_.dtype)
+            norm_x = mdl.norm2(x_).astype(x_.dtype)
             return x_ + mdl.attn2(norm_x, context=context, cached_kv=cross_kv)
 
         def seg_ffn(mdl, x_):
-            xf = x_.astype(jnp.float32)
+            xf = x_.astype(rdt)
             norm_x = mdl._mod(mdl.norm3(xf), c_scale, c_shift).astype(x_.dtype)
             ff = mdl.ffn(norm_x)
             return (xf + mdl._gate(ff.astype(jnp.float32),
                                    c_gate)).astype(x_.dtype)
 
         if self_cache is not None:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(rdt)
             norm_x = self._mod(self.norm1(xf), scale_msa, shift_msa).astype(x.dtype)
             attn_out, new_cache = self.attn1.cached(norm_x, rope, self_cache,
                                                     start_token, store_kv=store_kv)
@@ -417,6 +432,9 @@ class WanVideoDiT(FastGenNetwork):
     # Main use: scan_group=2 frees the ~1.4 GB that lets "save_attn" fit a
     # 16 GB v5e next to params+grads at 32,760 tokens.
     scan_group: int = 1
+    # see WanBlock.residual_f32 (bf16 residual stream = reference autocast
+    # numerics, half the boundary-crossing HBM traffic)
+    residual_f32: bool = True
     # stacked-parameter lax.scan over the 30 identical blocks: the TPU-native
     # layout for long-sequence training — XLA compiles ONE block and the
     # scan loop hard-serializes per-block backward recomputation, bounding
@@ -474,6 +492,7 @@ class WanVideoDiT(FastGenNetwork):
                                         self.qk_norm, self.cross_attn_norm,
                                         self.attn_impl, remat_inner=self.remat,
                                         remat_inner_mode=self.remat_inner_mode,
+                                        residual_f32=self.residual_f32,
                                         name="blocks")
             self.blocks = []
         else:
@@ -481,6 +500,7 @@ class WanVideoDiT(FastGenNetwork):
                                     self.qk_norm, self.cross_attn_norm,
                                     self.attn_impl, remat_inner=self.remat,
                                     remat_inner_mode=self.remat_inner_mode,
+                                    residual_f32=self.residual_f32,
                                     name=f"blocks_{i}")
                            for i in range(self.num_layers)]
         self.norm_out = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
