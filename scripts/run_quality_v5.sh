@@ -133,14 +133,16 @@ else
     log "stage: student — already at $SLAST iters, skipping"
 fi
 
-log "stage: student FID (1-step, ${FID_SAMPLES} samples, last ckpt only)"
+# STUDENT_FID_MIN_CKPT=0 sweeps every saved student checkpoint (the
+# per-checkpoint convergence curve); default keeps the cheap last-ckpt row.
+log "stage: student FID (1-step, ${FID_SAMPLES} samples)"
 SLAST=$(ls "$SCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
 if [ -n "$SLAST" ] && [ ! -f "$LOGS/fid_student_${SLAST}.json" ]; then
     timeout $FID_BUDGET python scripts/fid/compute_fid_from_ckpts.py \
         --config=fastgen_tpu/configs/experiments/EDM/config_dmd2_procgen.py \
         --ref "$DATA/fid-refs/procgen-32x32.npz" \
         --detector_path=random:0 \
-        --num_samples $FID_SAMPLES --min_ckpt $SLAST \
+        --num_samples $FID_SAMPLES --min_ckpt ${STUDENT_FID_MIN_CKPT:-$SLAST} \
         - log_config.name=dmd2_procgen_$STUDENT_TAG \
         > "$LOGS/fid_student.log" 2>&1 || log "student fid rc=$?"
     cp -f "$SCKPT/fid.json" "$LOGS/fid_student_${SLAST}.json" 2>/dev/null || true
