@@ -50,6 +50,15 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch,
 
     qi = pl.program_id(1)
 
+    # blocks aligned to the causal chunk: every VISITED block is fully
+    # allowed (a q/k block lies entirely inside one chunk), so the
+    # block-level visit predicate below subsumes the elementwise mask —
+    # skip the two [block_q, block_k] iotas + compare + select per block
+    # (pure VPU overhead between the MXU dots)
+    aligned = (causal_block is not None
+               and causal_block % block_q == 0
+               and causal_block % block_k == 0)
+
     def _compute():
         # dots run in the input dtype (bf16 on the fast MXU path) with f32
         # accumulation via preferred_element_type
@@ -58,15 +67,17 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
-        k_pos = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        if causal_block is not None:
+        if causal_block is not None and not aligned:
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
             q_pos = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             allowed = (k_pos // causal_block) <= (q_pos // causal_block)
             s = jnp.where(allowed, s, NEG_INF)
         if valid_len != seq_len:
             # sequence padded up to the block size: mask padded keys
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
             s = jnp.where(k_pos < valid_len, s, NEG_INF)
 
         m_prev = m_scratch[:]                        # [block_q, 1]
@@ -302,17 +313,27 @@ def _bwd_masked_logits(q, k, qi, ki, block_q, block_k, scale, causal_block,
                        static_valid, valid):
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1)
-    if causal_block is not None:
+    # chunk-aligned blocks: the caller's block-level visit predicate already
+    # equals the (uniform) elementwise mask — skip the iota/compare/select
+    aligned = (causal_block is not None
+               and causal_block % block_q == 0
+               and causal_block % block_k == 0)
+    k_pos = None
+    if causal_block is not None and not aligned:
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
         q_pos = qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         allowed = (k_pos // causal_block) <= (q_pos // causal_block)
         s = jnp.where(allowed, s, NEG_INF)
-    if static_valid is not None:
-        s = jnp.where(k_pos < static_valid, s, NEG_INF)
-    if valid is not None:
-        s = jnp.where(k_pos < valid, s, NEG_INF)
+    if static_valid is not None or valid is not None:
+        if k_pos is None:
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+        if static_valid is not None:
+            s = jnp.where(k_pos < static_valid, s, NEG_INF)
+        if valid is not None:
+            s = jnp.where(k_pos < valid, s, NEG_INF)
     return s
 
 

@@ -349,3 +349,22 @@ def test_remat_name_grad_matches_unnamed():
     g_plain = jax.grad(loss)(q, None)
     np.testing.assert_allclose(np.asarray(g_named), np.asarray(g_plain),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("which", ["fwd", "grad"])
+def test_flash_chunk_aligned_blocks(which):
+    """causal_block a multiple of both block sizes triggers the aligned
+    fast path (no elementwise mask inside the kernels — the block-level
+    visit predicate is the mask). Must stay exact vs the XLA reference."""
+    q, k, v = qkv(n=256)
+    kw = dict(causal_block=128, block_q=64, block_k=64, interpret=True)
+    if which == "fwd":
+        out = flash_attention(q, k, v, **kw)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(_ref(q, k, v, 128)),
+                                   rtol=2e-5, atol=2e-5)
+    else:
+        g1 = jax.grad(lambda q: (flash_attention(q, k, v, **kw) ** 2).sum())(q)
+        g2 = jax.grad(lambda q: (_ref(q, k, v, 128) ** 2).sum())(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-3, atol=1e-4)
