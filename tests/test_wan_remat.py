@@ -103,3 +103,42 @@ def test_bf16_residual_stream_numerics():
     den = sum(float(jnp.sum(a.astype(jnp.float32) ** 2))
               for a in jax.tree_util.tree_leaves(g32))
     assert (num / (den + 1e-30)) ** 0.5 < 0.02
+
+
+def test_save_attn_grouped_scan_under_fsdp_mesh():
+    """The save_attn + scan_group path must compile and grad correctly under
+    a GSPMD (dp, fsdp) mesh — the config the wan_train bench and multichip
+    training use (carry stack + saved attention interact with sharding)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "fsdp"))
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 3, 8, 8),
+                    jnp.float32)
+    t = jnp.full((2,), 0.5)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 5, 32), jnp.float32)
+    net = WanVideoDiT(**KW, remat=True, scan_blocks=True,
+                      remat_inner_mode="save_attn", scan_group=2)
+    ref_net = WanVideoDiT(**KW, remat=False, scan_blocks=False)
+    params = ref_net.init(jax.random.PRNGKey(0), x, t, ctx)
+
+    def loss(p, xb):
+        sp = {"params": stack_block_params(p["params"])}
+        return jnp.sum(net.apply(sp, xb, t, ctx) ** 2)
+
+    g_single = jax.jit(jax.grad(loss))(params, x)
+
+    with mesh:
+        xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        g_sharded = jax.jit(jax.grad(loss))(ps, xs)
+
+    num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(
+        jax.tree_util.tree_leaves(g_single),
+        jax.tree_util.tree_leaves(g_sharded)))
+    den = sum(float(jnp.sum(a ** 2))
+              for a in jax.tree_util.tree_leaves(g_single))
+    assert (num / (den + 1e-30)) ** 0.5 < 1e-5
