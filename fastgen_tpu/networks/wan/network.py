@@ -262,6 +262,11 @@ class WanBlock(nn.Module):
     #           the self-attention (out, lse) by name (WanVideoDiT wires the
     #           save_attn_policy): flash forward runs exactly 1x per step —
     #           ~100 MB bf16 saved per block at 32,760 tokens
+    #   "save_attn_noffn" — "save_attn" without the inner FFN segment remat:
+    #           the FFN forward runs 2x per step (primal + outer block
+    #           recompute) instead of 3x, trading ~1.2 GB of transient
+    #           backward workspace (the [N, ffn_dim] gelu interiors of one
+    #           block) for ~6% fewer executed FLOPs
     #   "offload_attn" — "save_attn" but the saved (out, lse) live in pinned
     #           host memory instead of HBM (the ~2.8 GB 30-block stack does
     #           not fit a 16 GB v5e next to params+grads; the 94 MB/block
@@ -371,7 +376,10 @@ class WanBlock(nn.Module):
                 x = nn.remat(seg_cross, prevent_cse=False)(self, x)
             else:
                 x = seg_cross(self, x)
-            x = nn.remat(seg_ffn, prevent_cse=False)(self, x)
+            if self.remat_inner_mode == "save_attn_noffn":
+                x = seg_ffn(self, x)
+            else:
+                x = nn.remat(seg_ffn, prevent_cse=False)(self, x)
         else:
             x = seg_cross(self, x)
             x = seg_ffn(self, x)
@@ -465,7 +473,7 @@ class WanVideoDiT(FastGenNetwork):
         host memory — the 30-block save stack is ~2.8 GB, which does not fit
         a 16 GB v5e next to params+grads+the carry stack; PCIe traffic is
         94 MB/block each way, hidden under the block's ~200 ms of compute."""
-        if self.remat_inner_mode == "save_attn":
+        if self.remat_inner_mode in ("save_attn", "save_attn_noffn"):
             from fastgen_tpu.ops.kernels.flash_attention import save_attn_policy
 
             return save_attn_policy("wan_self_attn")
