@@ -387,6 +387,18 @@ class FastGenModel:
                     continue
                 if key in params:
                     params[key] = self._merge_variables(params[key], variables)
+        elif path.endswith(".npz"):
+            # a committed single-file param snapshot (save_net_params_npz) —
+            # e.g. quality/ckpt/teacher_*.npz warm-starting a longer teacher
+            # run after the Orbax output root died with its session
+            from fastgen_tpu.utils.checkpointer import load_net_params_npz
+
+            variables = _tree_cast(load_net_params_npz(path), self.precision)
+            for key in ("teacher", "net"):
+                if key == "net" and not self.config.load_student_weights:
+                    continue
+                if key in params:
+                    params[key] = self._merge_variables(params[key], variables)
         elif path:
             from fastgen_tpu.utils import torch_convert
 

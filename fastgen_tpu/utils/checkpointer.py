@@ -249,3 +249,73 @@ def load_native_net_params(path: str, step: Optional[int] = None,
         return state["ema"][name]
     logger.info(f"Loaded native ckpt {path}@{step} (net params)")
     return state["params"]["net"]
+
+
+# --------------------------------------------------------------------- npz
+# Portable single-file param snapshots. Orbax run directories are the
+# checkpoint of record, but they are large (opt state, per-leaf dirs) and live
+# under untracked output roots; these helpers pack just a net's variable tree
+# into one compressed npz small enough to commit, so long-horizon runs survive
+# the session that produced them (QUALITY.md v6). bf16 arrays are stored as a
+# uint16 view with a ``::bf16`` key suffix — numpy can't serialize ml_dtypes
+# descriptors portably.
+
+_BF16_SUFFIX = "::bf16"
+
+
+def _flatten_variables(tree, prefix=""):
+    import numpy as np
+
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            assert "/" not in str(k), f"'/' in param key {k!r}"
+            flat.update(_flatten_variables(v, f"{prefix}{k}/"))
+        return flat
+    flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def save_net_params_npz(variables, out_path: str, dtype: str = "bfloat16"):
+    """Pack a net variable tree into one compressed npz (atomic write).
+
+    ``dtype``: narrow floating leaves to this dtype ("bfloat16"/"float16"/
+    "float32"); integer/bool leaves (e.g. BN counters) keep their dtype."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+
+    target = jnp.dtype(dtype)
+    out = {}
+    for key, arr in _flatten_variables(variables).items():
+        if np.issubdtype(arr.dtype, np.floating) or \
+                arr.dtype == ml_dtypes.bfloat16:
+            arr = arr.astype(target)
+        if arr.dtype == ml_dtypes.bfloat16:
+            key, arr = key + _BF16_SUFFIX, arr.view(np.uint16)
+        out[key] = arr
+    tmp = f"{out_path}.tmp.npz"
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.savez_compressed(tmp, **out)
+    os.replace(tmp, out_path)
+    logger.info(f"Saved {len(out)} param leaves to {out_path}")
+
+
+def load_net_params_npz(path: str):
+    """Inverse of :func:`save_net_params_npz` — returns the nested variable
+    dict with numpy leaves (bf16 restored via ml_dtypes)."""
+    import ml_dtypes
+    import numpy as np
+
+    tree: dict = {}
+    with np.load(path) as data:
+        for key in data.files:
+            arr = data[key]
+            if key.endswith(_BF16_SUFFIX):
+                key, arr = key[:-len(_BF16_SUFFIX)], arr.view(ml_dtypes.bfloat16)
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = arr
+    return tree

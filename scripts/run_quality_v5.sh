@@ -72,15 +72,37 @@ fi
 TCKPT=$ROOT/fastgen/procgen/sft_edm_procgen_$RUN_TAG/checkpoints
 TLAST=$(ls "$TCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
 if [ -z "$TLAST" ] || [ "$TLAST" -lt "$TEACHER_ITERS" ]; then
+    # TEACHER_WARM_START: a committed quality/ckpt/*.npz param snapshot
+    # (scripts/export_ckpt_params.py) seeds a FRESH run when the Orbax
+    # output root did not survive the previous session (iteration restarts
+    # at 0 — set TEACHER_ITERS to the *additional* budget in that case)
+    WARM=""
+    if [ -z "$TLAST" ] && [ -n "${TEACHER_WARM_START:-}" ] \
+            && [ -f "$TEACHER_WARM_START" ]; then
+        WARM="model.pretrained_model_path=$TEACHER_WARM_START"
+        log "teacher warm-start from $TEACHER_WARM_START"
+    fi
     log "stage: teacher (resume at ${TLAST:-0} -> ${TEACHER_ITERS} iters)"
     with_graceful_budget $TEACHER_BUDGET python train.py \
         --config=fastgen_tpu/configs/experiments/EDM/config_sft_edm_procgen.py \
         - trainer.max_iter=$TEACHER_ITERS trainer.save_ckpt_iter=$TEACHER_SAVE_ITER \
           trainer.validation_iter=0 \
-          log_config.name=sft_edm_procgen_$RUN_TAG \
+          log_config.name=sft_edm_procgen_$RUN_TAG $WARM \
         > "$LOGS/teacher.log" 2>&1 || log "teacher stage rc=$? (using last ckpt)"
 else
     log "stage: teacher — already at $TLAST iters, skipping"
+fi
+
+# COMMIT_CKPT=1: pack the teacher endpoint's EMA params into a committable
+# single-file snapshot the moment it exists, so the trained teacher survives
+# the session (QUALITY.md v6 lost an 8.4k-iter extension to a dead session)
+TLAST=$(ls "$TCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
+if [ "${COMMIT_CKPT:-0}" = "1" ] && [ -n "$TLAST" ] \
+        && [ ! -f "quality/ckpt/teacher_${RUN_TAG}_${TLAST}.npz" ]; then
+    log "stage: export teacher ckpt @$TLAST -> quality/ckpt/"
+    timeout 600 python scripts/export_ckpt_params.py --ckpt "$TCKPT" \
+        --out "quality/ckpt/teacher_${RUN_TAG}_${TLAST}.npz" \
+        > "$LOGS/export_ckpt.log" 2>&1 || log "ckpt export rc=$?"
 fi
 
 log "stage: refstats"

@@ -201,6 +201,52 @@ class TestNativePretrainedLoad:
             if state.ema else state.params["net"]
         assert tree_equal(loaded, want)
 
+    def test_npz_snapshot_roundtrip(self, model_and_state, tmp_path):
+        """save_net_params_npz <-> load_net_params_npz is exact at f32 and
+        value-preserving through the bf16 storage path."""
+        from fastgen_tpu.utils.checkpointer import (load_net_params_npz,
+                                                    save_net_params_npz)
+
+        _, model, state = model_and_state
+        variables = state.params["net"]
+        f32 = str(tmp_path / "net_f32.npz")
+        save_net_params_npz(variables, f32, dtype="float32")
+        assert tree_equal(load_net_params_npz(f32), variables)
+
+        bf16 = str(tmp_path / "net_bf16.npz")
+        save_net_params_npz(variables, bf16, dtype="bfloat16")
+        loaded = load_net_params_npz(bf16)
+        la = jax.tree_util.tree_leaves(loaded)
+        lb = jax.tree_util.tree_leaves(variables)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(x, np.float32), np.asarray(y, np.float32),
+                rtol=8e-3, atol=1e-6)
+
+    def test_dmd2_consumes_npz_snapshot(self, model_and_state, tmp_path):
+        """pretrained_model_path=<file>.npz warm-starts teacher+fake_score —
+        the committed-snapshot path for sessions whose Orbax root died
+        (QUALITY.md v6)."""
+        from fastgen_tpu.utils.checkpointer import save_net_params_npz
+
+        _, model, state = model_and_state
+        src = state.ema[sorted(state.ema)[0]] if state.ema \
+            else state.params["net"]
+        snap = str(tmp_path / "teacher.npz")
+        save_net_params_npz(src, snap, dtype="float32")
+
+        cfg2 = create_dmd2_test_config()
+        cfg2.trainer.callbacks = {}
+        cfg2.model.net.model_channels = 8
+        cfg2.model.net.num_blocks = 1
+        cfg2.model.pretrained_model_path = snap
+        model2 = instantiate(cfg2.model_class, config=cfg2.model)
+        model2.init_optimizers()
+        state2 = model2.init_state(jax.random.PRNGKey(9))
+        assert tree_equal(state2.params["teacher"], src)
+        assert tree_equal(state2.params["fake_score"], src)
+
     def test_dmd2_consumes_stage1_checkpoint(self, model_and_state, tmp_path):
         _, model, state = model_and_state
         ck = Checkpointer(str(tmp_path / "stage1"), async_save=False)
