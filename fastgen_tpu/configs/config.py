@@ -201,6 +201,15 @@ class BaseTrainerConfig:
     fsdp: bool = False
     fsdp_sharding_group_size: Optional[int] = None
 
+    # when set, every checkpoint save ALSO packs the EMA (or net) params into
+    # a committable single-file snapshot ``<snapshot_dir>/<name>_<iter>.npz``
+    # (utils/checkpointer.save_net_params_npz) — written synchronously from
+    # the in-memory state, so a run killed mid-stage still leaves snapshots
+    # for every completed save cadence (QUALITY.md v6 lost 20.4k iterations
+    # because export only ran after the stage exited)
+    snapshot_dir: Optional[str] = None
+    snapshot_dtype: str = "bfloat16"
+
     # per-device batch size is dataloader_train.batch_size; grad-accum math
     # mirrors the reference (``utils/scripts.py:95-108``)
     grad_accum_rounds: int = 1

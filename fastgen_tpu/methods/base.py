@@ -382,11 +382,7 @@ class FastGenModel:
             from fastgen_tpu.utils.checkpointer import load_native_net_params
 
             variables = _tree_cast(load_native_net_params(path), self.precision)
-            for key in ("teacher", "net"):
-                if key == "net" and not self.config.load_student_weights:
-                    continue
-                if key in params:
-                    params[key] = self._merge_variables(params[key], variables)
+            params = self._merge_pretrained_nets(params, variables, path)
         elif path.endswith(".npz"):
             # a committed single-file param snapshot (save_net_params_npz) —
             # e.g. quality/ckpt/teacher_*.npz warm-starting a longer teacher
@@ -394,11 +390,7 @@ class FastGenModel:
             from fastgen_tpu.utils.checkpointer import load_net_params_npz
 
             variables = _tree_cast(load_net_params_npz(path), self.precision)
-            for key in ("teacher", "net"):
-                if key == "net" and not self.config.load_student_weights:
-                    continue
-                if key in params:
-                    params[key] = self._merge_variables(params[key], variables)
+            params = self._merge_pretrained_nets(params, variables, path)
         elif path:
             from fastgen_tpu.utils import torch_convert
 
@@ -414,7 +406,7 @@ class FastGenModel:
                         continue
                     if key in params:
                         torch_convert.verify_against_template(variables, params[key])
-                        params[key] = self._merge_variables(params[key], variables)
+                params = self._merge_pretrained_nets(params, variables, path)
         student_path = getattr(self.config, "pretrained_student_net_path", "")
         if student_path and self.config.load_student_weights:
             from fastgen_tpu.utils import torch_convert
@@ -425,6 +417,23 @@ class FastGenModel:
                     torch_convert.convert_checkpoint(student_path, arch),
                     self.precision)
                 params["net"] = self._merge_variables(params["net"], variables)
+        return params
+
+    def _merge_pretrained_nets(self, params: Dict[str, Any], variables,
+                               source: str) -> Dict[str, Any]:
+        """Overlay loaded variables onto the teacher/net param trees via
+        ``tolerant_merge`` — missing keys and shape mismatches keep init but
+        WARN (a snapshot from a mismatched config no longer warm-starts
+        silently from garbage; ref ``model.py:600-644`` verifies torch
+        loads the same way)."""
+        from fastgen_tpu.utils.checkpointer import tolerant_merge
+
+        for key in ("teacher", "net"):
+            if key == "net" and not self.config.load_student_weights:
+                continue
+            if key in params:
+                params[key] = tolerant_merge(params[key], variables,
+                                             f"{source}:{key}")
         return params
 
     @staticmethod

@@ -362,6 +362,24 @@ class Trainer:
         # frozen nets (teacher/cm_teacher) are not persisted (ref model_dict)
         self.checkpointer.save(iteration, model.prune_for_checkpoint(state),
                                metadata={"callbacks": cb.state_dict()})
+        self._save_param_snapshot(model, state, iteration)
         cb.on_save_checkpoint_success(model, iteration=iteration,
                                       path=self.checkpointer.save_dir)
         cb.on_save_checkpoint_end(model, iteration=iteration)
+
+    def _save_param_snapshot(self, model, state, iteration: int) -> None:
+        """Pack the EMA (or net) params into a committable single-file npz at
+        every save cadence (``trainer.snapshot_dir``). Written synchronously
+        from the in-memory state — unlike a post-stage export, a session kill
+        mid-stage still leaves every completed cadence's snapshot on disk."""
+        snap_dir = getattr(self.config.trainer, "snapshot_dir", None)
+        if not snap_dir:
+            return
+        from fastgen_tpu.utils.checkpointer import save_net_params_npz
+
+        params = self._ema_or_net_params(model, state)
+        path = os.path.join(
+            snap_dir, f"{self.config.log_config.name}_{iteration:06d}.npz")
+        save_net_params_npz(
+            jax.device_get(params), path,
+            dtype=getattr(self.config.trainer, "snapshot_dtype", "bfloat16"))

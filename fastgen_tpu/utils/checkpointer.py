@@ -269,7 +269,10 @@ def _flatten_variables(tree, prefix=""):
     flat = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            assert "/" not in str(k), f"'/' in param key {k!r}"
+            # non-str keys would stringify into the '/'-joined npz name and
+            # load back as a str-keyed tree that silently fails to merge
+            assert isinstance(k, str), f"non-str param key {k!r} ({type(k)})"
+            assert "/" not in k, f"'/' in param key {k!r}"
             flat.update(_flatten_variables(v, f"{prefix}{k}/"))
         return flat
     flat[prefix[:-1]] = np.asarray(tree)
@@ -289,10 +292,17 @@ def save_net_params_npz(variables, out_path: str, dtype: str = "bfloat16"):
     out = {}
     for key, arr in _flatten_variables(variables).items():
         if np.issubdtype(arr.dtype, np.floating) or \
-                arr.dtype == ml_dtypes.bfloat16:
+                jnp.issubdtype(arr.dtype, jnp.floating):
+            # any float (incl. ml_dtypes fp8/bf16) narrows to the target —
+            # a dtype we can't round-trip must fail HERE, not at load time
             arr = arr.astype(target)
         if arr.dtype == ml_dtypes.bfloat16:
             key, arr = key + _BF16_SUFFIX, arr.view(np.uint16)
+        if not (np.issubdtype(arr.dtype, np.floating)
+                or np.issubdtype(arr.dtype, np.integer)
+                or np.issubdtype(arr.dtype, np.bool_)):
+            raise ValueError(f"cannot serialize {key!r} dtype {arr.dtype} "
+                             f"portably in npz")
         out[key] = arr
     tmp = f"{out_path}.tmp.npz"
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)

@@ -197,8 +197,26 @@ def main():
 
     if rank == 0:
         out_path = os.path.join(save_dir, "fid.json")
+        # self-describing artifact: a later reader can audit every row
+        # without the run log (ref fid.json is keyed by full config,
+        # ``/root/reference/scripts/fid/compute_fid_from_ckpts.py:66-253``)
+        payload = dict(results)
+        payload["protocol"] = {
+            "config": args.config,
+            "run_name": config.log_config.name,
+            "sampler": args.sampler,
+            "sample_steps": (args.steps or 35) if args.sampler == "teacher"
+                            else sample_steps,
+            "num_samples": args.num_samples,
+            "batch": args.batch,
+            "seed": args.seed,
+            "detector": type(detector).__name__,
+            "detector_path": args.detector_path,
+            "feature_dim": int(detector.feature_dim),
+            "ref_stats": args.ref,
+        }
         with open(out_path, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(payload, f, indent=2)
         print(f"Wrote {out_path}")
 
 

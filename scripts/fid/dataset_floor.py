@@ -53,7 +53,13 @@ def main():
     print(f"split-half FID floor: {floor:.6g}")
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"floor": floor, "num_images": n}, f)
+            json.dump({"floor": floor, "num_images": n,
+                       "protocol": {"dataset": args.dataset,
+                                    "detector": type(detector).__name__,
+                                    "detector_path": args.detector_path,
+                                    "feature_dim": int(detector.feature_dim),
+                                    "split": "first-half vs second-half"}},
+                      f, indent=2)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,43 @@ def test_train_checkpoint_resume(config):
     assert os.path.isdir(os.path.join(save_path, "checkpoints"))
 
 
+def test_save_time_param_snapshot(config, tmp_path):
+    """trainer.snapshot_dir packs the EMA params into a committable npz at
+    EVERY save cadence, synchronously from live state — the crash-survival
+    path QUALITY.md v6 lacked (20.4k iters died with a post-stage export)."""
+    import numpy as np
+
+    from fastgen_tpu.utils.checkpointer import load_net_params_npz
+
+    snap_dir = str(tmp_path / "snaps")
+    config.trainer.snapshot_dir = snap_dir
+    config.trainer.save_ckpt_iter = 2
+    model = instantiate(config.model_class, config=config.model)
+    trainer = Trainer(config)
+    trainer.run(model)
+    trainer.checkpointer.wait()
+
+    name = config.log_config.name
+    snaps = sorted(os.listdir(snap_dir))
+    assert snaps == [f"{name}_{i:06d}.npz" for i in (2, 4)]
+
+    # the snapshot holds the EMA tree (bf16) and warm-starts a fresh model:
+    # _load_pretrained's .npz branch merges it into teacher/net
+    tree = load_net_params_npz(os.path.join(snap_dir, snaps[-1]))
+    assert "params" in tree
+    config.model.pretrained_model_path = os.path.join(snap_dir, snaps[-1])
+    model2 = instantiate(config.model_class, config=config.model)
+    import jax
+
+    state2 = model2.init_state(jax.random.PRNGKey(0))
+    flat_loaded = jax.tree_util.tree_leaves(tree)
+    flat_net = jax.tree_util.tree_leaves(state2.params["net"])
+    assert len(flat_loaded) == len(flat_net)
+    for a, b in zip(flat_loaded, flat_net):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=0, atol=1e-2)
+
+
 def test_train_profiler_trace_and_decomposition(config):
     """TrainProfiler captures a jax.profiler trace over the configured
     iteration window and records the data/step/host decomposition
