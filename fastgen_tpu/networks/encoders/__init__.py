@@ -19,6 +19,7 @@ from fastgen_tpu.networks.encoders.clip import (
 from fastgen_tpu.networks.encoders.t5 import T5Encoder, convert_t5
 from fastgen_tpu.networks.encoders.vae import AutoencoderKL, convert_autoencoder_kl
 from fastgen_tpu.networks.encoders.video_vae import CausalVideoVAE
+from fastgen_tpu.networks.encoders.wan_vae import AutoencoderKLWan, WanVAE
 from fastgen_tpu.networks.encoders.qwen25 import Qwen25TextModel, convert_qwen25
 from fastgen_tpu.networks.encoders.wrappers import (
     CogVideoXTextEncoder,
@@ -39,7 +40,7 @@ __all__ = [
     "convert_clip_text", "convert_clip_vision",
     "T5Encoder", "convert_t5",
     "AutoencoderKL", "convert_autoencoder_kl",
-    "CausalVideoVAE",
+    "CausalVideoVAE", "AutoencoderKLWan", "WanVAE",
     "Qwen25TextModel", "convert_qwen25", "CosmosTextEncoder",
     "StableDiffusionTextEncoder", "SDXLTextEncoder", "FluxTextEncoder",
     "T5TextEncoder", "WanTextEncoder", "CogVideoXTextEncoder",

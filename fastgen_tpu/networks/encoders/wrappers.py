@@ -341,10 +341,31 @@ class VAEWrapper:
 
 class VideoVAEWrapper:
     """Frozen causal video VAE (``Wan/network.py:484-541``).
-    Videos [B,T,H,W,C] <-> latents [B,t,h,w,zc]."""
+    Videos [B,T,H,W,C] <-> latents [B,t,h,w,zc].
+
+    ``layout="behavioral"`` (default) is the lightweight from-scratch causal
+    VAE (``video_vae.CausalVideoVAE``) used by the raw-pixel smoke configs;
+    ``layout="wan"`` is the diffusers-``AutoencoderKLWan``-exact network
+    (``wan_vae.AutoencoderKLWan``) that loads real Wan 2.1 VAE weights via
+    ``checkpoint_path=<diffusers vae .pth/.safetensors>`` (converter
+    ``torch_convert.convert_wan_vae``, replica-parity-tested in
+    ``tests/test_wan_vae.py``)."""
 
     def __init__(self, params=None, dtype=jnp.bfloat16, seed: int = 0,
-                 example_shape: Tuple[int, int, int] = (5, 32, 32), **module_kw):
+                 example_shape: Tuple[int, int, int] = (5, 32, 32),
+                 layout: str = "behavioral", checkpoint_path=None, **module_kw):
+        if layout == "wan":
+            from fastgen_tpu.networks.encoders.wan_vae import WanVAE
+
+            inner = WanVAE(params=params, dtype=_resolve_dtype(dtype),
+                           seed=seed, checkpoint_path=checkpoint_path,
+                           **module_kw)
+            self.module = inner.module
+            self.dtype = inner.dtype
+            self.params = inner.params
+            self.encode = inner.encode
+            self.decode = inner.decode
+            return
         from fastgen_tpu.networks.encoders.video_vae import CausalVideoVAE
         self.module = CausalVideoVAE(**module_kw)
         dtype = _resolve_dtype(dtype)

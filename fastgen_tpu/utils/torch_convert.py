@@ -775,7 +775,71 @@ def convert_ltx2(state_dict: Dict[str, np.ndarray],
     return {"params": params}
 
 
+def convert_wan_vae(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """diffusers ``AutoencoderKLWan`` state dict -> flax
+    ``encoders.wan_vae.AutoencoderKLWan`` variables (ref wraps this VAE as
+    ``WanVideoEncoder``, ``fastgen/networks/Wan/network.py:484-541``).
+
+    Key mapping (torch -> flax tree):
+      ``encoder.down_blocks.N.``            -> ``encoder/down_blocks_N/``
+      ``decoder.up_blocks.N.resnets.J.``    -> ``decoder/up_blocks_N/resnets_J/``
+      ``...up_blocks.N.upsamplers.0.``      -> ``.../upsamplers_0/``
+      ``mid_block.resnets.K. / attentions.0.`` -> ``mid_block/resnets_K/ ...``
+      ``.resample.1.`` (Sequential conv)    -> ``resample_1/`` (as 1x3x3 conv3d)
+      conv ``weight [O,I,(kt,)kh,kw]``      -> ``kernel [kt,kh,kw,I,O]``
+      WanRMS_norm ``gamma [C,1,1(,1)]``     -> ``gamma [C]``
+      attention ``to_qkv/proj`` 1x1 Conv2d  -> Dense ``kernel [I,O]``
+    """
+    params: Dict[str, Any] = {}
+    used = set()
+
+    def arr(name):
+        used.add(name)
+        return state_dict[name]
+
+    def put(path: str, value):
+        _set_nested(params, tuple(path.split("/")), value)
+
+    for key in list(state_dict):
+        if not key.endswith((".weight", ".bias", ".gamma")):
+            continue
+        path = (key
+                .replace("encoder.down_blocks.", "encoder.down_blocks_")
+                .replace("decoder.up_blocks.", "decoder.up_blocks_")
+                .replace(".resnets.", ".resnets_")
+                .replace(".attentions.0.", ".attentions_0.")
+                .replace(".upsamplers.0.", ".upsamplers_0.")
+                .replace(".resample.1.", ".resample_1.")
+                .replace("mid_block.resnets_", "mid_block.resnets_"))
+        parts = path.split(".")
+        leaf = parts[-1]
+        scope = "/".join(parts[:-1])
+        w = arr(key)
+        if leaf == "gamma":                      # (C,1,1[,1]) -> (C,)
+            put(f"{scope}/gamma", w.reshape(w.shape[0]))
+        elif leaf == "bias":
+            put(f"{scope}/bias", w)
+        elif w.ndim == 5:                        # causal conv3d
+            put(f"{scope}/kernel", _to_conv3d(w))
+        elif w.ndim == 4:
+            if w.shape[2] == w.shape[3] == 1:    # 1x1 conv2d == Dense (attn)
+                put(f"{scope}/kernel", _to_dense(w[:, :, 0, 0]))
+            else:                                # resample conv2d -> 1xKhxKw
+                put(f"{scope}/kernel", _to_conv2d(w)[None])
+        elif w.ndim == 2:
+            put(f"{scope}/kernel", _to_dense(w))
+        else:
+            raise ValueError(f"convert_wan_vae: unexpected {key} {w.shape}")
+
+    dropped = [k for k in state_dict if k not in used]
+    if dropped:
+        logger.warning(f"convert_wan_vae: dropped {len(dropped)} keys "
+                       f"({dropped[:4]}{'...' if len(dropped) > 4 else ''})")
+    return {"params": params}
+
+
 CONVERTERS = {"edm": convert_edm, "dit": convert_dit, "wan": convert_wan,
+              "wan_vae": convert_wan_vae,
               "edm2": convert_edm2, "sd15": convert_sd_unet,
               "sdxl": convert_sd_unet, "flux": convert_flux,
               "cogvideox": convert_cogvideox, "cosmos": convert_cosmos,
