@@ -776,11 +776,15 @@ class WanVideoDiT(FastGenNetwork):
         t_list = np.linspace(ns.max_t, 0.0, num_steps + 1)
         if shift and shift != 1.0:
             t_list = shift * t_list / (1.0 + (shift - 1.0) * t_list)
-        if solver == "dpm2m":
-            # second-order data-prediction multistep (the TPU-native UniPC
-            # equivalent, ops/solvers.py) — CFG on x0 is algebraically the
-            # same combination as on velocity for affine schedules
-            from fastgen_tpu.ops.solvers import dpm_solver_2m
+        if solver in ("dpm2m", "unipc"):
+            # second-order data-prediction multistep (ops/solvers.py):
+            # "unipc" is the reference's exact teacher sampler (bh2 + UniC
+            # corrector, ref Wan/network.py:919); "dpm2m" is the corrector-
+            # free DPM-Solver++(2M). CFG on x0 is algebraically the same
+            # combination as on velocity for affine schedules.
+            from fastgen_tpu.ops.solvers import MULTISTEP_SOLVERS
+
+            ms_solver = MULTISTEP_SOLVERS[solver]
 
             use_cfg_ms = guidance_scale is not None and guidance_scale > 1.0 \
                 and neg_condition is not None
@@ -807,12 +811,12 @@ class WanVideoDiT(FastGenNetwork):
                 # SLG turns on mid-schedule: run two chained scans (plain
                 # CFG, then SLG-CFG). The 2M history restarts first-order at
                 # the seam — the standard multistep-restart behavior.
-                x = dpm_solver_2m(make_x0_fn(None), ns, noise,
-                                  t_list[:slg_start + 1])
-                return dpm_solver_2m(make_x0_fn(skip_layers), ns, noise,
-                                     t_list[slg_start:], latents=x)
+                x = ms_solver(make_x0_fn(None), ns, noise,
+                              t_list[:slg_start + 1])
+                return ms_solver(make_x0_fn(skip_layers), ns, noise,
+                                 t_list[slg_start:], latents=x)
             slg0 = skip_layers if slg_start == 0 and use_cfg_ms else None
-            return dpm_solver_2m(make_x0_fn(slg0), ns, noise, t_list)
+            return ms_solver(make_x0_fn(slg0), ns, noise, t_list)
         x = ns.latents(noise, t_init=jnp.asarray(float(t_list[0]), jnp.float32))
         preserve = getattr(self, "preserve_conditioning", None)
         if preserve is not None:

@@ -33,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dpm_solver_2m", "shifted_t_grid"]
+__all__ = ["dpm_solver_2m", "unipc_sample", "shifted_t_grid",
+           "MULTISTEP_SOLVERS"]
 
 _EPS = 1e-8
 
@@ -129,14 +130,136 @@ def dpm_solver_2m(x0_fn: Callable, noise_schedule, noise: jnp.ndarray,
     return x
 
 
+def unipc_sample(x0_fn: Callable, noise_schedule, noise: jnp.ndarray,
+                 t_list: Sequence[float],
+                 latents: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """UniPC order-2 (bh2 variant, predictor + corrector) — the EXACT method
+    the reference samples its teachers with (diffusers
+    ``UniPCMultistepScheduler``, ref ``Wan/network.py:919``; defaults:
+    ``solver_order=2, solver_type="bh2", predict_x0=True,
+    lower_order_final=True``). Same interface and static-coefficient-table +
+    ``lax.scan`` design as :func:`dpm_solver_2m`.
+
+    Per step ``i`` (diffusers ``UniPCMultistepScheduler.step`` semantics):
+    evaluate ``m_i = x0_fn(x_i, t_i)`` on the UNCORRECTED sample; apply the
+    UniC corrector to ``x_i`` over the interval ``(t_{i-1} -> t_i)`` using
+    ``m_i`` as the new endpoint information; run the UniP predictor from the
+    corrected sample over ``(t_i -> t_{i+1})``. The first step is order 1,
+    the second step's corrector is order 1, and the sigma->0 endpoint
+    collapses to ``x = m`` exactly like dpm2m's final step.
+    """
+    import inspect
+
+    n_fn_args = len(inspect.signature(x0_fn).parameters)
+    ns = noise_schedule
+    t_list = [float(t) for t in t_list]
+
+    def a(t):
+        return float(np.asarray(ns.alpha(jnp.float32(t))))
+
+    def s(t):
+        return max(float(np.asarray(ns.sigma(jnp.float32(t)))), 0.0)
+
+    x = ns.latents(noise, t_init=jnp.asarray(t_list[0], jnp.float32)) \
+        if latents is None else latents
+    lam = [np.log(max(a(t), _EPS) / max(s(t), _EPS)) for t in t_list]
+
+    def bh2_b(h):
+        """(h_phi_1, B_h, b1, b2) for the bh2 variant at signed step hh=-h
+        (predict_x0): B(h)=expm1(hh); b_i = h_phi_k * i! / B_h."""
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        b_h = h_phi_1  # bh2
+        h_phi_k = h_phi_1 / hh - 1.0
+        b1 = h_phi_k * 1.0 / b_h
+        h_phi_k = h_phi_k / hh - 0.5
+        b2 = h_phi_k * 2.0 / b_h
+        return h_phi_1, b_h, b1, b2
+
+    # Host-side static coefficient table. Row i drives scan step i:
+    #   corrector over (i-1 -> i): c_ratio, c_m0, c_d1 (coeff of m_i-m_{i-1}),
+    #     c_dp (coeff of m_{i-2}-m_{i-1}), c_use
+    #   predictor over (i -> i+1): t_i, p_ratio, p_m0, p_d (coeff of
+    #     (m_{i-1}-m_i)/r_prev folded in), all scalars
+    rows = []
+    endpoint_t = None
+    for i in range(len(t_list) - 1):
+        t_cur, t_next = t_list[i], t_list[i + 1]
+        if s(t_next) <= _EPS or t_next <= 0.0:
+            endpoint_t = t_cur
+            break
+        # ---- predictor (t_i -> t_{i+1})
+        h = lam[i + 1] - lam[i]
+        h_phi_1, b_h, b1, _ = bh2_b(h)
+        p_ratio = s(t_next) / max(s(t_cur), _EPS)
+        p_m0 = a(t_next) * h_phi_1
+        if i == 0:
+            p_d = 0.0  # order-1 warmup (no history)
+        else:
+            r_prev = (lam[i - 1] - lam[i]) / h
+            p_d = a(t_next) * b_h * b1 / r_prev
+        # ---- corrector (t_{i-1} -> t_i), applied to x_i before predicting
+        if i == 0:
+            c_use = c_ratio = c_m0 = c_d1 = c_dp = 0.0
+        else:
+            hc = lam[i] - lam[i - 1]
+            ch_phi_1, cb_h, cb1, cb2 = bh2_b(hc)
+            c_use = 1.0
+            c_ratio = s(t_cur) / max(s(t_list[i - 1]), _EPS)
+            c_m0 = a(t_cur) * ch_phi_1
+            if i == 1:
+                # order-1 corrector: rhos_c = [0.5]
+                c_d1, c_dp = a(t_cur) * cb_h * 0.5, 0.0
+            else:
+                r0 = (lam[i - 2] - lam[i - 1]) / hc
+                # solve [[1,1],[r0,1]] @ [u,v] = [b1,b2]
+                u = (cb2 - cb1) / (r0 - 1.0)
+                v = cb1 - u
+                c_dp = a(t_cur) * cb_h * u / r0
+                c_d1 = a(t_cur) * cb_h * v
+        rows.append((t_cur, p_ratio, p_m0, p_d,
+                     c_use, c_ratio, c_m0, c_d1, c_dp))
+
+    if rows:
+        def step(carry, sc):
+            i, c = sc
+            x, last_x, m1, m2 = carry  # m1=m_{i-1}, m2=m_{i-2}
+            args = (x, c[0]) if n_fn_args < 3 else (x, c[0], i)
+            m = x0_fn(*args).astype(x.dtype)
+            # UniC: correct the current sample with the fresh endpoint eval
+            x_corr = (c[5].astype(x.dtype) * last_x
+                      - c[6].astype(x.dtype) * m1
+                      - (c[7].astype(x.dtype) * (m - m1)
+                         + c[8].astype(x.dtype) * (m2 - m1)))
+            x_used = jnp.where(c[4] > 0, x_corr, x)
+            # UniP: predict the next sample from the corrected one
+            x_next = (c[1].astype(x.dtype) * x_used
+                      - c[2].astype(x.dtype) * m
+                      - c[3].astype(x.dtype) * (m1 - m))
+            return (x_next, x_used, m, m1), None
+
+        table = jnp.asarray(np.array(rows, np.float32))
+        idxs = jnp.arange(len(rows), dtype=jnp.int32)
+        zeros = jnp.zeros_like(x)
+        (x, _, _, _), _ = jax.lax.scan(step, (x, zeros, zeros, zeros),
+                                       (idxs, table))
+    if endpoint_t is not None:
+        args = (x, endpoint_t) if n_fn_args < 3 else (x, endpoint_t, len(rows))
+        x = x0_fn(*args)
+    return x
+
+
+MULTISTEP_SOLVERS = {"dpm2m": dpm_solver_2m, "unipc": unipc_sample}
+
+
 def net_dpm2m_sample(net, noise, condition=None, neg_condition=None,
                      guidance_scale: Optional[float] = None,
                      num_steps: int = 50, shift: float = 1.0,
-                     **net_kwargs) -> jnp.ndarray:
-    """Shared ``solver="dpm2m"`` branch for the teacher samplers: x0-space
-    CFG (affine-equivalent to velocity/eps CFG), conditioning preservation,
-    flow-shift grid. Extra ``net_kwargs`` ride into every forward (e.g.
-    Flux's embedded ``guidance``)."""
+                     method: str = "dpm2m", **net_kwargs) -> jnp.ndarray:
+    """Shared ``solver="dpm2m"``/``"unipc"`` branch for the teacher samplers:
+    x0-space CFG (affine-equivalent to velocity/eps CFG), conditioning
+    preservation, flow-shift grid. Extra ``net_kwargs`` ride into every
+    forward (e.g. Flux's embedded ``guidance``)."""
     ns = net.noise_scheduler
     use_cfg = (guidance_scale is not None and guidance_scale > 1.0
                and neg_condition is not None)
@@ -151,5 +274,5 @@ def net_dpm2m_sample(net, noise, condition=None, neg_condition=None,
         preserve = getattr(net, "preserve_conditioning", None)
         return preserve(x0, condition) if preserve is not None else x0
 
-    return dpm_solver_2m(x0_fn, ns, noise,
-                         shifted_t_grid(ns.max_t, num_steps, shift))
+    return MULTISTEP_SOLVERS[method](
+        x0_fn, ns, noise, shifted_t_grid(ns.max_t, num_steps, shift))

@@ -36,6 +36,11 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
+# >60s on the single-core dev box (torch-replica / large-module builds): excluded
+# from the quick tier (`make pytest`); run via `make pytest-all`.
+pytestmark = pytest.mark.slow
+
+
 KEY = jax.random.PRNGKey(0)
 
 

@@ -18,6 +18,11 @@ import jax.numpy as jnp
 
 from fastgen_tpu.networks.encoders.qwen25 import (
     Qwen25TextModel,
+
+# >60s on the single-core dev box (torch-replica / large-module builds): excluded
+# from the quick tier (`make pytest`); run via `make pytest-all`.
+pytestmark = pytest.mark.slow
+
     combine_hidden_states,
     convert_qwen25,
     mean_normalize,

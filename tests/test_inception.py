@@ -17,6 +17,11 @@ import torch.nn.functional as F
 from fastgen_tpu.networks.inception import (
     InceptionV3, convert_inception, preprocess_uint8)
 
+# >60s on the single-core dev box (torch-replica / large-module builds): excluded
+# from the quick tier (`make pytest`); run via `make pytest-all`.
+pytestmark = pytest.mark.slow
+
+
 
 class TBasic(nn.Module):
     def __init__(self, cin, cout, **kw):

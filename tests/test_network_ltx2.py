@@ -10,6 +10,11 @@ import pytest
 from fastgen_tpu.networks.ltx2.network import LTX2VideoDiT, pack_latents, unpack_latents
 
 
+# >60s on the single-core dev box (torch-replica / large-module builds): excluded
+# from the quick tier (`make pytest`); run via `make pytest-all`.
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def net_and_params():
     net = LTX2VideoDiT(in_channels=4, out_channels=4, num_heads=2, head_dim=12,

@@ -16,6 +16,11 @@ from fastgen_tpu.networks.sd.unet import StableDiffusion15, UNet2DCondition
 from fastgen_tpu.networks.wan.network_i2v import CausalWanI2V, WanI2V
 from fastgen_tpu.networks.wan.network_vace import VACEWan
 
+
+# >60s on the single-core dev box (torch-replica / large-module builds): excluded
+# from the quick tier (`make pytest`); run via `make pytest-all`.
+pytestmark = pytest.mark.slow
+
 KEY = jax.random.PRNGKey(0)
 WAN_KW = dict(dim=96, num_layers=2, num_heads=4, ffn_dim=128, in_channels=4,
               out_channels=4, text_dim=32, rope_max_seq_len=64)

@@ -80,6 +80,63 @@ def test_dpm2m_on_wan_runs(wan):
     assert out.shape == noise.shape and np.isfinite(out).all()
 
 
+def test_unipc_second_order_convergence():
+    """UniPC (bh2, p=2, with corrector) on the same smooth flow ODE as the
+    dpm2m test: ~2nd-order convergence, and the corrector should make it at
+    least as accurate as corrector-free DPM2M at equal step count."""
+    from fastgen_tpu.ops.schedules import get_noise_schedule
+    from fastgen_tpu.ops.solvers import unipc_sample
+
+    ns = get_noise_schedule("rf")
+    x_init = jax.random.normal(KEY, (2, 8, 8, 3))
+
+    def x0_fn(x, t):
+        return jnp.tanh(x) * (1.0 - 0.5 * jnp.asarray(t, jnp.float32))
+
+    def grid(steps):
+        return np.linspace(0.9, 0.1, steps + 1)
+
+    def euler(steps):
+        x = x_init
+        for tc, tn in zip(grid(steps)[:-1], grid(steps)[1:]):
+            v = (x - x0_fn(x, tc)) / float(tc)
+            x = x - (float(tc) - float(tn)) * v
+        return np.asarray(x)
+
+    ref = euler(4000)
+    errs = {}
+    for s in (16, 32):
+        u = np.asarray(unipc_sample(x0_fn, ns, x_init, grid(s),
+                                    latents=x_init))
+        d = np.asarray(dpm_solver_2m(x0_fn, ns, x_init, grid(s),
+                                     latents=x_init))
+        errs[("unipc", s)] = np.abs(u - ref).mean()
+        errs[("dpm", s)] = np.abs(d - ref).mean()
+    # ~2nd order: halving h cuts the error by ~4x (allow slack)
+    assert errs[("unipc", 32)] < 0.35 * errs[("unipc", 16)]
+    # the UniC corrector buys accuracy over corrector-free 2M
+    assert errs[("unipc", 32)] <= 1.05 * errs[("dpm", 32)]
+
+
+def test_unipc_vs_dpm2m_teacher_gap(wan):
+    """Bounds the teacher-sampling gap (round-3 verdict #9): the reference
+    samples Wan teachers with UniPC (``Wan/network.py:919``); our FID/KD
+    pipelines default to DPM2M. At 35 steps on the same net + grid the two
+    must agree closely — and unipc is now available as ``solver="unipc"``."""
+    net, params, cond = wan
+    noise = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 8, 8, 4))
+    out_u = np.asarray(net.apply(params, noise, method=net.sample,
+                                 condition=cond, guidance_scale=None,
+                                 num_steps=35, solver="unipc"))
+    out_d = np.asarray(net.apply(params, noise, method=net.sample,
+                                 condition=cond, guidance_scale=None,
+                                 num_steps=35, solver="dpm2m"))
+    assert np.isfinite(out_u).all()
+    scale = np.abs(out_d).mean()
+    delta = np.abs(out_u - out_d).mean() / max(scale, 1e-8)
+    assert delta < 2e-2, f"unipc vs dpm2m relative gap {delta:.4f} at 35 steps"
+
+
 def test_dpm2m_with_cfg_and_slg(wan):
     net, params, cond = wan
     noise = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 8, 8, 4))

@@ -383,6 +383,7 @@ def test_roundtrip_reconstruction_contract(pair):
     np.testing.assert_allclose(z_trunc[:, :2], z_full[:, :2], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_wan21_real_size_layout():
     """The real Wan2.1 config (96/16/[1,2,4,4]/2) converts with zero dropped
     keys and zero missing flax params (layout-compatibility at full size)."""
