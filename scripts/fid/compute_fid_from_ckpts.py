@@ -194,8 +194,17 @@ def main():
                                  max_samples=args.num_samples // world)
         results[str(step)] = score
         print(f"ckpt {step}: FID = {score:.4f}", flush=True)
+        if rank == 0:
+            # rewrite after EVERY checkpoint so a timeout mid-sweep keeps
+            # all completed rows (a 90-min sweep used to lose everything)
+            _write_results(args, config, results, save_dir, sample_steps,
+                           detector)
 
     if rank == 0:
+        print(f"Wrote {os.path.join(save_dir, 'fid.json')}")
+
+
+def _write_results(args, config, results, save_dir, sample_steps, detector):
         out_path = os.path.join(save_dir, "fid.json")
         # self-describing artifact: a later reader can audit every row
         # without the run log (ref fid.json is keyed by full config,

@@ -50,8 +50,14 @@ log() { echo "[$RUN_TAG $(date +%H:%M:%S)] $*"; }
 # paths only — never `-A` — so it cannot swallow unrelated working-tree
 # changes from a concurrent interactive session.
 committer() {
+    local tdir=$ROOT/fastgen/procgen/sft_edm_procgen_$RUN_TAG/checkpoints
+    local sdir=$ROOT/fastgen/procgen/dmd2_procgen_$STUDENT_TAG/checkpoints
     while true; do
         sleep 240
+        # fid.json is rewritten after every checkpoint row — mirror the live
+        # copy into the committed log dir so a mid-sweep kill keeps the rows
+        cp -f "$tdir/fid.json" "$LOGS/fid_teacher_live.json" 2>/dev/null || true
+        cp -f "$sdir/fid.json" "$LOGS/fid_student_live.json" 2>/dev/null || true
         git add quality/ckpt "$LOGS" 2>/dev/null
         if ! git diff --cached --quiet 2>/dev/null; then
             git commit -q -m "quality $RUN_TAG: checkpoint snapshots + logs (auto)" \
