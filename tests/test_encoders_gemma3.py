@@ -12,14 +12,13 @@ import jax.numpy as jnp
 
 from fastgen_tpu.networks.encoders.gemma3 import (
     Gemma3TextModel,
+    convert_gemma3,
+    pack_text_embeds,
+)
 
 # >60s on the single-core dev box (torch-replica / large-module builds): excluded
 # from the quick tier (`make pytest`); run via `make pytest-all`.
 pytestmark = pytest.mark.slow
-
-    convert_gemma3,
-    pack_text_embeds,
-)
 
 
 def _tiny_pair(sliding_window=4, pattern=2, factor=1.0):

@@ -18,15 +18,14 @@ import jax.numpy as jnp
 
 from fastgen_tpu.networks.encoders.qwen25 import (
     Qwen25TextModel,
-
-# >60s on the single-core dev box (torch-replica / large-module builds): excluded
-# from the quick tier (`make pytest`); run via `make pytest-all`.
-pytestmark = pytest.mark.slow
-
     combine_hidden_states,
     convert_qwen25,
     mean_normalize,
 )
+
+# >60s on the single-core dev box (torch-replica / large-module builds): excluded
+# from the quick tier (`make pytest`); run via `make pytest-all`.
+pytestmark = pytest.mark.slow
 
 TINY = dict(vocab_size=89, hidden=32, intermediate=48, num_layers=4,
             num_heads=4, num_kv_heads=2, head_dim=8)
