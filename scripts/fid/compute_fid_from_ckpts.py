@@ -165,6 +165,13 @@ def main():
                     jax.block_until_ready(acc["n"])
                     print(f"first batch (incl. compile): {time.time()-t0:.1f}s",
                           flush=True)
+                elif (bi // world) % 32 == 0:
+                    # device-progress heartbeat (a print alone would only
+                    # show host dispatch): the stall supervisor kills
+                    # silent stages, and one sync per 32 batches is noise
+                    jax.block_until_ready(acc["n"])
+                    print(f"[fid] batch {bi}/{n_batches} "
+                          f"({time.time()-t0:.0f}s)", flush=True)
             mu_sum, sigma_sum, n = finalize(acc)
             if world > 1:
                 from jax.experimental import multihost_utils

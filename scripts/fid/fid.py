@@ -258,6 +258,11 @@ def calculate_inception_stats(sample_iter, detector, max_samples: Optional[int] 
         for batch in sample_iter:
             acc = update(acc, batch)
             n += len(batch)
+            # liveness heartbeat: long sampling sweeps run under a stall
+            # supervisor (scripts/supervise_quality.sh) that kills silent
+            # stages — and a progress line per ~2k samples is just good UX
+            if n % 2048 < len(batch):
+                print(f"[fid] {n} samples featurized", flush=True)
             if max_samples and n >= max_samples:
                 break
         assert n > 0, "no samples"
@@ -271,6 +276,8 @@ def calculate_inception_stats(sample_iter, detector, max_samples: Optional[int] 
             mu_sum += feats.sum(axis=0)
             sigma_sum += feats.T @ feats
             n += feats.shape[0]
+            if n % 2048 < feats.shape[0]:
+                print(f"[fid] {n} samples featurized", flush=True)
             if max_samples and n >= max_samples:
                 break
         assert n > 0, "no samples"
