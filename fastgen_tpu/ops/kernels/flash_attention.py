@@ -23,6 +23,7 @@ Fully-masked k-blocks are skipped analytically via the block index comparison.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import numpy as np
@@ -312,7 +313,9 @@ def _decode_forward(q, k, v, valid_len, scale, block_q, block_k, interpret=False
 def _bwd_masked_logits(q, k, qi, ki, block_q, block_k, scale, causal_block,
                        static_valid, valid):
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
+    if scale != 1.0:  # scale==1.0: caller folded it into k (pre-scaled)
+        s = s * scale
     # chunk-aligned blocks: the caller's block-level visit predicate already
     # equals the (uniform) elementwise mask — skip the iota/compare/select
     aligned = (causal_block is not None
@@ -362,7 +365,9 @@ def _flash_bwd_dq_kernel(*args, scale, block_q, block_k, causal_block,
         p = jnp.exp(s - lse_ref[0][:, :1])
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, :1]) * scale
+        ds = p * (dp - delta_ref[0][:, :1])
+        if scale != 1.0:
+            ds = ds * scale
         dq_scratch[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -413,7 +418,9 @@ def _flash_bwd_dkv_kernel(*args, scale, block_q, block_k, causal_block,
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, :1]) * scale
+        ds = p * (dp - delta_ref[0][:, :1])
+        if scale != 1.0:
+            ds = ds * scale
         dk_scratch[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -454,6 +461,13 @@ def _bwd_blocks(n_q: int, n_kv: int, itemsize: int, block_q: int,
     else:
         cap_k = min(block_k, 1024)
         cap_q = min(block_q, 1600)
+    # on-device sweep knobs (scripts/sweep_wan_train.sh; no-op when unset)
+    env_q = os.environ.get("FASTGEN_FLASH_BWD_CAP_Q")
+    env_k = os.environ.get("FASTGEN_FLASH_BWD_CAP_K")
+    if env_q:
+        cap_q = int(env_q)
+    if env_k:
+        cap_k = int(env_k)
     q8, k8 = -(-n_q // 8) * 8, -(-n_kv // 8) * 8
     bk = _divisor_block(k8, cap_k, floor=min(cap_k, 128))
     if bk is None:
@@ -476,6 +490,15 @@ def _flash_backward(q, k, v, o, lse, g, scale, causal_block, block_q, block_k,
     bq, q_pad, bk, kv_pad = _bwd_blocks(
         n_q, n_kv, jnp.dtype(q.dtype).itemsize, block_q, block_k)
 
+    # Fold the softmax scale into k once at the XLA level (one [N, d] mul,
+    # fused into the pad) instead of two [bq, bk] VPU passes per block-pair
+    # per kernel (s*scale and ds*scale): s = q·(k·scale)^T is exact in the
+    # same bf16 ulp class, dq = ds·k_in needs no scale at all, and dk is
+    # rescaled once on the way out in f32. The bwd kernels see scale == 1.0.
+    fold = scale != 1.0 and jnp.dtype(k.dtype).itemsize < 4
+    if fold:
+        k = (k.astype(jnp.float32) * scale).astype(k.dtype)
+
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
     if q_pad != n_q:
@@ -493,7 +516,8 @@ def _flash_backward(q, k, v, o, lse, g, scale, causal_block, block_q, block_k,
         k, v = jnp.pad(k, kp), jnp.pad(v, kp)
     static_valid = n_kv if (kv_pad != n_kv and valid_len is None) else None
 
-    kern = dict(scale=scale, block_q=bq, block_k=bk, causal_block=causal_block,
+    kern = dict(scale=1.0 if fold else scale, block_q=bq, block_k=bk,
+                causal_block=causal_block,
                 static_valid=static_valid, dynamic_valid=valid_len is not None)
     dq_scratch = [pltpu.VMEM((bq, d), jnp.float32)]
     dkv_scratch = [pltpu.VMEM((bk, d), jnp.float32),
@@ -594,6 +618,9 @@ def _flash_backward(q, k, v, o, lse, g, scale, causal_block, block_q, block_k,
             ],
             interpret=interpret,
         )(valid, q, k, v, g, lse, delta)
+    if fold:
+        # dk above is d(loss)/d(k·scale); rescale once in f32 on the way out
+        dk = (dk.astype(jnp.float32) * scale).astype(k.dtype)
     return dq[:, :n_q], dk[:, :n_kv], dv[:, :n_kv]
 
 
