@@ -66,7 +66,9 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch,
         q = q_ref[0]                                # [block_q, d]
         k = k_ref[0]                                # [block_k, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
+        if scale != 1.0:  # scale==1.0: caller folded it into k
+            s = s * scale
 
         if causal_block is not None and not aligned:
             k_pos = ki * block_k + jax.lax.broadcasted_iota(
@@ -124,6 +126,14 @@ def _flash_forward(q, k, v, scale, causal_block, block_q, block_k,
     padded query rows are sliced off."""
     bh, n_q, d = q.shape
     n_kv = k.shape[1]
+    # fold the softmax scale into k (one [N, d] mul, fused into the pad)
+    # instead of a [bq, bk] VPU pass per visited block — same trick as the
+    # backward; lse stays the logsumexp of the *scaled* logits, consistent
+    # with what the backward recomputes from its own folded k
+    fold = scale != 1.0 and jnp.dtype(k.dtype).itemsize < 4
+    if fold:
+        k = (k.astype(jnp.float32) * scale).astype(k.dtype)
+        scale = 1.0
     # prefer blocks that divide n exactly: padded rows/keys are wasted MXU
     # work and large blocks amortize the online-softmax VPU overhead
     # (32760 tokens: blocks (1560, 936) run ~2x faster than (256, 512));
