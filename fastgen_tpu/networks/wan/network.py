@@ -271,6 +271,9 @@ class WanBlock(nn.Module):
     #           host memory instead of HBM (the ~2.8 GB 30-block stack does
     #           not fit a 16 GB v5e next to params+grads; the 94 MB/block
     #           PCIe transfers hide under ~200 ms of block compute)
+    #   "offload_attn_noffn" — offload_attn + the save_attn_noffn FFN
+    #           schedule (FFN fwd 2x instead of 3x), spending the HBM the
+    #           offload frees on the FFN backward workspace
     remat_inner_mode: str = "all"
     # keep the residual stream in f32 (default) or the input dtype. bf16
     # residuals match the reference's torch-autocast training numerics and
@@ -376,7 +379,8 @@ class WanBlock(nn.Module):
                 x = nn.remat(seg_cross, prevent_cse=False)(self, x)
             else:
                 x = seg_cross(self, x)
-            if self.remat_inner_mode == "save_attn_noffn":
+            if self.remat_inner_mode in ("save_attn_noffn",
+                                         "offload_attn_noffn"):
                 x = seg_ffn(self, x)
             else:
                 x = nn.remat(seg_ffn, prevent_cse=False)(self, x)
@@ -477,7 +481,7 @@ class WanVideoDiT(FastGenNetwork):
             from fastgen_tpu.ops.kernels.flash_attention import save_attn_policy
 
             return save_attn_policy("wan_self_attn")
-        if self.remat_inner_mode == "offload_attn":
+        if self.remat_inner_mode in ("offload_attn", "offload_attn_noffn"):
             names = ["wan_self_attn_out", "wan_self_attn_lse"]
             return jax.checkpoint_policies.save_and_offload_only_these_names(
                 names_which_can_be_saved=[],

@@ -40,6 +40,7 @@ run_point save_attn_noffn 2 1    # FFN fwd 2x instead of 3x (may OOM)
 run_point save_attn_noffn 2 0
 run_point offload_attn 2 1       # attn saves in pinned host (unbenchmarked)
 run_point offload_attn 2 0
+run_point offload_attn_noffn 2 0 # offloaded HBM spent on FFN bwd workspace
 run_point offload_attn 3 0       # offload frees HBM -> bigger groups
 run_point save_attn 3 0
 run_point save_attn 5 0
