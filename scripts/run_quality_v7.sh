@@ -78,7 +78,7 @@ with_graceful_budget() {  # $1=budget_secs, rest=command
     rm -f "$SENTINEL"
     ( sleep $((budget - 700)) && touch "$SENTINEL" ) &
     local watchdog=$!
-    timeout "$budget" "$@"
+    timeout --foreground "$budget" "$@"
     local rc=$?
     kill "$watchdog" 2>/dev/null
     rm -f "$SENTINEL"
@@ -87,7 +87,7 @@ with_graceful_budget() {  # $1=budget_secs, rest=command
 
 log "stage: dataset"
 if [ ! -f "$DATA/procgen-32x32.zip" ]; then
-    timeout 1200 python scripts/make_procedural_dataset.py \
+    timeout --foreground 1200 python scripts/make_procedural_dataset.py \
         --out "$DATA/procgen-32x32.zip" --num 50000 --res 32 \
         > "$LOGS/dataset.log" 2>&1 || log "dataset stage rc=$?"
 fi
@@ -127,7 +127,7 @@ TLAST=$(ls "$TCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
 
 log "stage: refstats"
 if [ ! -f "$DATA/fid-refs/procgen-32x32.npz" ]; then
-    timeout 1800 python scripts/fid/compute_dataset_ref_stats.py \
+    timeout --foreground 1800 python scripts/fid/compute_dataset_ref_stats.py \
         --dataset "$DATA/procgen-32x32.zip" \
         --out "$DATA/fid-refs/procgen-32x32.npz" \
         --detector_path=random:0 \
@@ -140,7 +140,7 @@ fi
 
 log "stage: dataset floor (split-half, same detector as the FID rows)"
 if [ ! -f "$LOGS/floor.json" ]; then
-    timeout 1800 python scripts/fid/dataset_floor.py \
+    timeout --foreground 1800 python scripts/fid/dataset_floor.py \
         --dataset "$DATA/procgen-32x32.zip" \
         --detector_path=random:0 \
         --out "$LOGS/floor.json" \
@@ -149,7 +149,7 @@ fi
 
 log "stage: teacher FID (35-step, ${FID_SAMPLES} samples, last ckpt only)"
 if [ ! -f "$LOGS/fid_teacher_${TLAST}.json" ]; then
-    timeout $FID_BUDGET python scripts/fid/compute_fid_from_ckpts.py \
+    timeout --foreground $FID_BUDGET python scripts/fid/compute_fid_from_ckpts.py \
         --config=fastgen_tpu/configs/experiments/EDM/config_sft_edm_procgen.py \
         --ref "$DATA/fid-refs/procgen-32x32.npz" \
         --detector_path=random:0 --sampler teacher \
@@ -178,7 +178,7 @@ fi
 log "stage: student FID (1-step, ${FID_SAMPLES} samples, full checkpoint sweep)"
 SLAST=$(ls "$SCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
 if [ -n "$SLAST" ] && [ ! -f "$LOGS/fid_student_${SLAST}.json" ]; then
-    timeout $FID_SWEEP_BUDGET python scripts/fid/compute_fid_from_ckpts.py \
+    timeout --foreground $FID_SWEEP_BUDGET python scripts/fid/compute_fid_from_ckpts.py \
         --config=fastgen_tpu/configs/experiments/EDM/config_dmd2_procgen.py \
         --ref "$DATA/fid-refs/procgen-32x32.npz" \
         --detector_path=random:0 \
