@@ -94,6 +94,7 @@ class Trainer:
     def run(self, model) -> None:
         cfg = self.config.trainer
         cb = self.callbacks
+        self._sync_every = int(os.environ.get("FASTGEN_SYNC_EVERY_ITER", "0"))
         cb.on_app_begin()
 
         cb.on_optimizer_init_start(model)
@@ -237,6 +238,17 @@ class Trainer:
 
                 # host-side scalars for logging (async fetch; blocks rarely)
                 loss_map_host = {k: v for k, v in loss_map.items()}
+                if self._sync_every:
+                    # opt-in per-step device sync (FASTGEN_SYNC_EVERY_ITER=N,
+                    # sync when iteration % N == 0). Bounds the async dispatch
+                    # queue: through the axon TPU tunnel, a deep queue right
+                    # after process start correlates with the relay dropping
+                    # the client ("grant unclaimed past timeout"), leaving the
+                    # next device_get blocked forever (quality/v7b logs,
+                    # 2026-08-21). At ~250 ms/step one extra round trip per
+                    # step costs <2%; perf benches leave this unset.
+                    if iteration % self._sync_every == 0:
+                        jax.block_until_ready(loss_map_host)
                 cb.on_training_step_end(model, state=state, data_batch=None,
                                         loss_map=loss_map_host, outputs=outputs,
                                         iteration=iteration)

@@ -22,6 +22,10 @@
 set -uo pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+# bound the async dispatch queue: deep post-restart queues correlate with the
+# axon relay dropping the client, wedging the next device_get forever (see
+# scripts/supervise_quality.sh header). <2% overhead at ~250 ms steps.
+export FASTGEN_SYNC_EVERY_ITER=${FASTGEN_SYNC_EVERY_ITER:-1}
 ROOT=${FASTGEN_OUTPUT_ROOT:-FASTGEN_OUTPUT}
 DATA=$ROOT/DATA
 LOGS=${QUALITY_LOGS:-quality/v7}
