@@ -20,7 +20,13 @@
 set -u
 cd /root/repo
 LOGS=${QUALITY_LOGS:-quality/v7}
-STALL_SECS=${STALL_SECS:-600}
+# Round-4 calibration: the tunnel FREEZES for up to ~8 minutes and then
+# recovers (quality/v7b/teacher.log iter 10300: host 4315 ms/iter over a
+# 7.5-min gap) — killing at 450-600 s aborts runs that would have resumed,
+# and the restart's full-state Orbax restore is itself freeze-prone. 900 s
+# only catches true wedges (observed: >10 min with the main thread parked in
+# device_get and the device idle).
+STALL_SECS=${STALL_SECS:-900}
 MAX_ATTEMPTS=${MAX_ATTEMPTS:-8}
 mkdir -p "$LOGS"
 SUPLOG=$LOGS/supervisor.log
