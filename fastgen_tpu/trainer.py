@@ -194,6 +194,7 @@ class Trainer:
         outputs = None
         # resumed at/past max_iter -> loop body never runs; keep hooks valid
         iteration = iter_start
+        last_saved = iter_start
         try:
             for iteration in range(iter_start + 1, cfg.max_iter + 1):
                 cb.on_training_step_begin(model, state=state, iteration=iteration)
@@ -258,10 +259,12 @@ class Trainer:
 
                 if cfg.save_ckpt_iter and iteration % cfg.save_ckpt_iter == 0:
                     self.save_checkpoint(model, state, iteration)
+                    last_saved = iteration
 
                 if self.autoresume.termination_requested():
                     logger.info("Termination requested; saving and exiting")
                     self.save_checkpoint(model, state, iteration)
+                    last_saved = iteration
                     self.checkpointer.wait()
                     self.autoresume.request_resume()
                     break
@@ -271,6 +274,12 @@ class Trainer:
 
         if os.environ.get("FASTGEN_TRAINER_DEBUG"):
             print("[dbg] loop done", flush=True)
+        # final-iteration checkpoint: max_iter off the save cadence must still
+        # persist (the reference checkpoints on trainer exit, ``trainer.py:
+        # 263-283``; a 15000-iter run saving every 2000 otherwise strands the
+        # last 1000 iterations — exactly what the v7b teacher hit)
+        if cfg.save_ckpt_iter and iteration > last_saved:
+            self.save_checkpoint(model, state, iteration)
         cb.on_train_end(model, state=state, iteration=iteration)
         self.checkpointer.wait()
         cb.on_app_end(model, iteration=iteration)

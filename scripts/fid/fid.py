@@ -21,11 +21,19 @@ all_reduces them, ``fid.py:82-84``) — here via
 
 from __future__ import annotations
 
+import faulthandler
 import os
+import signal
 import sys
 from typing import Optional, Tuple
 
 import numpy as np
+
+# SIGUSR1 -> all-thread stack dump, as train.py installs for training runs.
+# Without a handler the default action TERMINATES the process — probing a
+# long FID run for liveness must never kill it (this cost v7b its floor row).
+if hasattr(signal, "SIGUSR1"):
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 
 class RandomProjDetector:

@@ -85,6 +85,25 @@ def test_save_time_param_snapshot(config, tmp_path):
                                    np.asarray(b, np.float32), rtol=0, atol=1e-2)
 
 
+def test_final_iteration_checkpoint_off_cadence(config, tmp_path):
+    """A run whose max_iter is off the save cadence still checkpoints its
+    final iteration on clean exit (ref checkpoints on trainer exit,
+    ``trainer.py:263-283``) — the v7b teacher trained 15000 iters at cadence
+    2000 and stranded its last 1000 before this."""
+    config.trainer.max_iter = 5
+    config.trainer.save_ckpt_iter = 2
+    snap_dir = str(tmp_path / "snaps")
+    config.trainer.snapshot_dir = snap_dir
+    model = instantiate(config.model_class, config=config.model)
+    trainer = Trainer(config)
+    trainer.run(model)
+    trainer.checkpointer.wait()
+    assert trainer.checkpointer.latest_step() == 5
+    # the final save also emits its committable npz snapshot
+    name = config.log_config.name
+    assert f"{name}_000005.npz" in os.listdir(snap_dir)
+
+
 def test_train_profiler_trace_and_decomposition(config):
     """TrainProfiler captures a jax.profiler trace over the configured
     iteration window and records the data/step/host decomposition
