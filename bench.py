@@ -262,8 +262,12 @@ def bench_wan_train():
     cfg.remat_inner_mode = os.environ.get("FASTGEN_BENCH_REMAT_MODE",
                                           "save_attn")
     cfg.scan_group = int(os.environ.get("FASTGEN_BENCH_SCAN_GROUP", "2"))
+    # bf16 residual stream by default: reference torch-autocast numerics
+    # (parity-tested in tests/test_wan_remat.py) and the measured best config
+    # — 0.124 steps/s / 37.5% MFU vs 0.109 / 32.8% with an f32 stream
+    # (quality/wan_train_sweep.jsonl, v5e)
     cfg.residual_f32 = os.environ.get("FASTGEN_BENCH_RESIDUAL_F32",
-                                      "1") == "1"
+                                      "0") == "1"
     net = instantiate(cfg)
     key = jax.random.PRNGKey(0)
     dtype = jnp.bfloat16

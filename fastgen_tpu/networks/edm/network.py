@@ -182,9 +182,11 @@ class EDMGroupNorm(nn.Module):
     TPU-tuned: statistics use fp32 *accumulating reductions* on the native
     dtype (E[x^2]-E[x]^2 form) instead of materializing an fp32 copy of the
     activations — on v5e this cut the EDM UNet forward from 106 to 74 ms
-    (GroupNorm was ~33% of wall-clock). A Pallas single-pass kernel exists
-    (``ops/kernels/group_norm.py``, FASTGEN_FUSED_GN=1) but loses XLA fusion
-    with neighbors and measured slower for these tensor sizes.
+    (GroupNorm was ~33% of wall-clock). A Pallas single-pass fused kernel was
+    built, A/B-benched on the 4-step sampler, and DELETED: 606 vs 917
+    samples/s (quality/bench/fused_gn_ab.jsonl) — a standalone GN kernel
+    forfeits XLA's fusion with the surrounding conv/SiLU and loses 34%.
+    Let the compiler fuse what the compiler fuses better.
     """
 
     num_groups: int = 32
@@ -193,18 +195,10 @@ class EDMGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os
-
         c = x.shape[-1]
         groups = min(self.num_groups, c // self.min_channels_per_group)
         weight = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-
-        if (os.environ.get("FASTGEN_FUSED_GN", "0") == "1"
-                and jax.default_backend() == "tpu"):
-            from fastgen_tpu.ops.kernels.group_norm import fused_group_norm
-
-            return fused_group_norm(x, weight, bias, groups, self.eps)
 
         shape = x.shape[:-1] + (groups, c // groups)
         xg = x.reshape(shape)

@@ -482,10 +482,19 @@ class WanVideoDiT(FastGenNetwork):
 
             return save_attn_policy("wan_self_attn")
         if self.remat_inner_mode in ("offload_attn", "offload_attn_noffn"):
-            names = ["wan_self_attn_out", "wan_self_attn_lse"]
+            # offload only the bf16 attention outputs; the f32 lse stays on
+            # device (47 MB total). NOTE: the current TPU toolchain (libtpu
+            # 2026.x via the axon AOT compiler) rejects BOTH variants under
+            # lax.scan at post-optimization — "async-start expects the shape
+            # of operand 0 to match the async shape ... {T(8,128)} vs
+            # {T(8,128)S(5)}" — i.e. named-offload remat inside a scan body
+            # cannot currently compile for this target (measured 2026-08-21,
+            # quality/wan_train_sweep.jsonl). The modes stay: they are
+            # grad-parity-tested on CPU (tests/test_wan_remat.py) and the
+            # blocker is the compiler, not the program.
             return jax.checkpoint_policies.save_and_offload_only_these_names(
-                names_which_can_be_saved=[],
-                names_which_can_be_offloaded=names,
+                names_which_can_be_saved=["wan_self_attn_lse"],
+                names_which_can_be_offloaded=["wan_self_attn_out"],
                 offload_src="device", offload_dst="pinned_host")
         return None
 

@@ -38,7 +38,8 @@ def ref():
 
 
 @pytest.mark.parametrize("scan_group", [1, 2, 4])
-@pytest.mark.parametrize("mode", ["ffn", "save_attn", "save_attn_noffn"])
+@pytest.mark.parametrize("mode", ["ffn", "save_attn", "save_attn_noffn",
+                                  "offload_attn"])
 def test_scan_remat_grad_parity(ref, scan_group, mode):
     """scan_blocks + remat policy + grouping change scheduling, not math."""
     x, t, ctx, params, g_ref, scale = ref
@@ -57,7 +58,8 @@ def test_scan_remat_grad_parity(ref, scan_group, mode):
         f"from the unrematted reference (scale {scale:.2e})")
 
 
-@pytest.mark.parametrize("mode", ["all", "ffn", "save_attn", "save_attn_noffn"])
+@pytest.mark.parametrize("mode", ["all", "ffn", "save_attn", "save_attn_noffn",
+                                  "offload_attn_noffn"])
 def test_pyloop_remat_grad_parity(ref, mode):
     """The python-loop (scan_blocks=False) remat path, all inner modes."""
     x, t, ctx, params, g_ref, scale = ref
