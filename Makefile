@@ -2,11 +2,13 @@
 
 .PHONY: pytest pytest-all bench dryrun lint
 
-# quick tier: skips @pytest.mark.slow (>60s) tests — ~10 min on this box
+# quick tier: skips @pytest.mark.slow (>60s) tests — measured ~41 min
+# single-core on this box (509 tests, 2026-08-21); the converter-replica /
+# encoder-parity heavies live in the slow tier
 pytest:
 	python -m pytest tests/ -q -m "not slow"
 
-# the full suite (~45 min single-core)
+# the full suite (~75 min single-core)
 pytest-all:
 	python -m pytest tests/ -q
 
