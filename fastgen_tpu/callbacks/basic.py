@@ -152,7 +152,20 @@ class WandbCallback(Callback):
 
     def on_validation_step_end(self, model, state=None, data_batch=None,
                                loss_map=None, outputs=None, iteration=0, idx=0):
-        if not is_rank0() or not outputs:
+        if not is_rank0():
+            return
+        # held-out loss record (ref logs validation loss_map through the
+        # wandb loss record, ``callbacks/wandb.py`` _LossDictRecord); one
+        # synchronous write per validation — cadence is rare, cost is noise
+        if loss_map:
+            record = {"iteration": int(iteration), "val_idx": int(idx)}
+            for k, v in loss_map.items():
+                try:
+                    record[f"val/{k}"] = float(v)
+                except (TypeError, ValueError):
+                    continue
+            self._log(record)
+        if not outputs:
             return
         if not self.save_samples:
             return

@@ -183,6 +183,10 @@ class BaseTrainerConfig:
 
     seed: int = 0
     val_seed: Optional[int] = None
+    # val batches per validation pass when dataloader_val is set (the
+    # reference bounds its val-loader loop with the MAX_VAL_STEPS global var,
+    # ``trainer.py:358-360``; the global var, when set, wins over this)
+    max_val_steps: int = 2
     resume: bool = True
     # validation sampling failures abort the run unless set False (the
     # reference does not catch validation exceptions, ``trainer.py:341-372``)

@@ -635,6 +635,20 @@ class FastGenModel:
 
         return astep
 
+    def make_eval_step(self, phase: str) -> Callable:
+        """Grad-free loss evaluation over a held-out batch. The reference's
+        ``validate`` runs ``single_train_step`` under ``no_grad`` per val
+        batch to log validation loss (ref ``trainer.py:341-372``); here the
+        equivalent is ``compute_losses`` without the grad transform — one
+        forward-only jitted program per phase, no state mutation."""
+
+        def estep(state: MethodState, batch, rng):
+            loss_map, _ = self.compute_losses(
+                state.params, batch, rng, state.iteration, phase)
+            return loss_map
+
+        return estep
+
     def make_merge_variables_step(self) -> Callable:
         """Merge non-trainable variable updates (e.g. f-distill ratio bins)
         into the state between grad-accumulation rounds, matching the

@@ -158,7 +158,14 @@ class Trainer:
         sampler_start_idx = iter_start * batch_size * accum * mesh_lib.process_count()
         loader = instantiate(loader_cfg, sampler_start_idx=sampler_start_idx)
         train_iter = iter(loader)
+        # held-out validation loader (ref ``trainer.py:166-169`` instantiates
+        # it beside the train loader; ``validate`` iterates it for val loss)
         val_loader_cfg = self.config.dataloader_val
+        self._val_loader = (instantiate(val_loader_cfg)
+                            if val_loader_cfg is not None else None)
+        self._eval_steps = (
+            {p: jax.jit(model.make_eval_step(p)) for p in model.phases}
+            if self._val_loader is not None else {})
         cb.on_dataloader_init_end(model, iteration=iter_start)
 
         cb.on_train_begin(model, state=state, iteration=iter_start)
@@ -307,16 +314,78 @@ class Trainer:
             with temporary_global_vars(variant):
                 self._validate_once(model, state, iteration, idx)
 
+    def _eval_val_loss(self, model, state, iteration: int):
+        """Run the grad-free eval step over held-out batches and return
+        (mean val loss_map, last preprocessed val batch). Mirrors the
+        reference's per-batch ``single_train_step`` loop over
+        ``dataloader_val`` (ref ``trainer.py:357-370``), bounded by the
+        MAX_VAL_STEPS global var / ``trainer.max_val_steps``."""
+        from fastgen_tpu.utils.global_vars import get_global_var
+
+        cfg = self.config.trainer
+        max_steps = get_global_var("MAX_VAL_STEPS", None)
+        if max_steps is None:
+            max_steps = getattr(cfg, "max_val_steps", 2)
+        val_key = jax.random.PRNGKey(cfg.val_seed or cfg.seed)
+        # fresh iterator per validation: the samplers are seeded with
+        # start_idx 0, so every validation scores the SAME deterministic
+        # held-out prefix (comparable across iterations)
+        val_iter = iter(self._val_loader)
+        sums: Dict[str, Any] = {}
+        count = 0
+        last_batch = None
+        multi_phase = len(model.phases) > 1
+        for step in range(int(max_steps)):
+            bkey = jax.random.fold_in(val_key, step)
+            batch = next(val_iter)
+            if getattr(self.config.model, "enable_preprocessors", True):
+                # no augmentation on held-out data (the reference's validate
+                # calls preprocess_data without an augment pipe)
+                batch = preprocess_data(model, batch, augment_pipe=None,
+                                        rng=jax.random.fold_in(bkey, 1 << 20))
+            batch = {k: v for k, v in batch.items() if not k.endswith("_raw")}
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+            last_batch = batch
+            for pi, phase in enumerate(model.phases):
+                lm = self._eval_steps[phase](state, batch,
+                                             jax.random.fold_in(bkey, pi))
+                for k, v in lm.items():
+                    name = f"{phase}/{k}" if multi_phase else k
+                    sums[name] = v if name not in sums else sums[name] + v
+            count += 1
+        host = jax.device_get(sums)
+        loss_map = {}
+        for k, v in host.items():
+            v = np.asarray(v)
+            if v.ndim == 0:
+                loss_map[k] = float(v) / max(count, 1)
+        return loss_map, last_batch
+
     def _validate_once(self, model, state, iteration: int, idx: int = 0) -> None:
         cb = self.callbacks
         cb.on_validation_begin(model, state=state, iteration=iteration, idx=idx)
         try:
+            # held-out loss over dataloader_val (ref ``trainer.py:341-372``)
+            val_loss_map, val_batch = (
+                self._eval_val_loss(model, state, iteration)
+                if getattr(self, "_val_loader", None) is not None
+                else (None, None))
             sample_key = jax.random.PRNGKey(self.config.trainer.val_seed
                                             or self.config.trainer.seed)
             n = min(16, 8 * max(1, len(jax.devices())))
             noise = jax.random.normal(sample_key, (n,) + model.input_shape,
                                       model.precision)
             cond = model.example_condition(n)
+            # real held-out conditions feed the sample grid when available
+            # (the reference visualizes generations for the val batch's
+            # conditions, not synthetic ones)
+            if val_batch is not None and val_batch.get("condition") is not None:
+                real_cond = jax.tree_util.tree_map(lambda x: x[:n],
+                                                   val_batch["condition"])
+                sizes = {x.shape[0]
+                         for x in jax.tree_util.tree_leaves(real_cond)}
+                if sizes and min(sizes) >= n:
+                    cond = real_cond
             params_net = self._ema_or_net_params(model, state)
             gen = model.generator_fn(
                 params_net, noise, rng=sample_key, condition=cond,
@@ -325,6 +394,7 @@ class Trainer:
                 student_sample_type=self.config.model.student_sample_type)
             outputs = {"gen_rand": np.asarray(gen), "input_rand": np.asarray(noise)}
             cb.on_validation_step_end(model, state=state, outputs=outputs,
+                                      loss_map=val_loss_map,
                                       iteration=iteration, idx=idx)
         except Exception as e:
             # the reference does not catch validation failures; keep a lenient

@@ -21,6 +21,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+# Module-level so the SIGUSR1 stack-dump handler (scripts/fid/fid.py) covers
+# the whole process — a liveness probe must never terminate a stats run.
+import scripts.fid.fid  # noqa: E402,F401
+
 
 def main():
     p = argparse.ArgumentParser()

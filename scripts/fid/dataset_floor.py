@@ -23,6 +23,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+# Module-level so the SIGUSR1 stack-dump handler (registered at
+# scripts/fid/fid.py import) is active for the WHOLE process lifetime —
+# v7b's floor run was killed (rc=138) by a liveness probe that landed
+# before main()'s lazy import installed it.
+import scripts.fid.fid  # noqa: E402,F401
+
 
 def main():
     p = argparse.ArgumentParser()

@@ -14,11 +14,13 @@
 # last Orbax checkpoint; finished stages no-op), so a relaunch costs at most
 # one save cadence of training time.
 #
-# Usage: env-vars are passed through to run_quality_v7.sh.
-#   STALL_SECS   (default 600)  silence threshold
+# Usage: env-vars are passed through to the pipeline script.
+#   PIPELINE     (default scripts/run_quality_v7.sh)  which pipeline to run
+#   STALL_SECS   (default 900)  silence threshold
 #   MAX_ATTEMPTS (default 8)
 set -u
 cd /root/repo
+PIPELINE=${PIPELINE:-scripts/run_quality_v7.sh}
 LOGS=${QUALITY_LOGS:-quality/v7}
 # Round-4 calibration: the tunnel FREEZES for up to ~8 minutes and then
 # recovers (quality/v7b/teacher.log iter 10300: host 4315 ms/iter over a
