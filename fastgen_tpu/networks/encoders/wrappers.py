@@ -349,17 +349,29 @@ class VideoVAEWrapper:
     (``wan_vae.AutoencoderKLWan``) that loads real Wan 2.1 VAE weights via
     ``checkpoint_path=<diffusers vae .pth/.safetensors>`` (converter
     ``torch_convert.convert_wan_vae``, replica-parity-tested in
-    ``tests/test_wan_vae.py``)."""
+    ``tests/test_wan_vae.py``); ``layout="cogvideox"`` is the
+    diffusers-``AutoencoderKLCogVideoX``-exact network
+    (``cogvideox_vae.AutoencoderKLCogVideoX``, ref
+    ``CogVideoX/network.py:302-347``; converter
+    ``torch_convert.convert_cogvideox_vae``, parity-tested in
+    ``tests/test_cogvideox_vae.py``)."""
 
     def __init__(self, params=None, dtype=jnp.bfloat16, seed: int = 0,
                  example_shape: Tuple[int, int, int] = (5, 32, 32),
                  layout: str = "behavioral", checkpoint_path=None, **module_kw):
-        if layout == "wan":
-            from fastgen_tpu.networks.encoders.wan_vae import WanVAE
-
-            inner = WanVAE(params=params, dtype=_resolve_dtype(dtype),
-                           seed=seed, checkpoint_path=checkpoint_path,
-                           **module_kw)
+        if layout in ("wan", "cogvideox"):
+            if layout == "wan":
+                from fastgen_tpu.networks.encoders.wan_vae import WanVAE
+                inner = WanVAE(params=params, dtype=_resolve_dtype(dtype),
+                               seed=seed, checkpoint_path=checkpoint_path,
+                               **module_kw)
+            else:
+                from fastgen_tpu.networks.encoders.cogvideox_vae import \
+                    CogVideoXVAE
+                inner = CogVideoXVAE(params=params,
+                                     dtype=_resolve_dtype(dtype), seed=seed,
+                                     checkpoint_path=checkpoint_path,
+                                     **module_kw)
             self.module = inner.module
             self.dtype = inner.dtype
             self.params = inner.params

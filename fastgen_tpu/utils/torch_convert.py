@@ -838,8 +838,77 @@ def convert_wan_vae(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": params}
 
 
+def convert_cogvideox_vae(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """diffusers ``AutoencoderKLCogVideoX`` state dict -> flax
+    ``encoders.cogvideox_vae.AutoencoderKLCogVideoX`` variables (ref wraps
+    this VAE as ``CogVideoXVideoEncoder``,
+    ``fastgen/networks/CogVideoX/network.py:302-347``).
+
+    Key mapping (torch -> flax tree):
+      ``encoder.down_blocks.N.``           -> ``encoder/down_blocks_N/``
+      ``decoder.up_blocks.N.resnets.J.``   -> ``decoder/up_blocks_N/resnets_J/``
+      ``...samplers.0.conv.``              -> ``...samplers_0/conv/`` (2D conv
+                                              as a (1,kh,kw) 3D kernel)
+      causal-conv inner ``X.conv.weight``  -> ``X/kernel`` [kt,kh,kw,I,O]
+      GroupNorm ``weight``                 -> ``scale``
+      spatial-norm ``norm_layer/conv_y/conv_b`` keep their names
+      ``conv_shortcut.weight [O,I,1,1,1]`` -> Dense ``kernel [I,O]``
+    """
+    import re
+
+    params: Dict[str, Any] = {}
+    used = set()
+
+    def put(path: str, value):
+        _set_nested(params, tuple(path.split("/")), value)
+
+    # causal convs wrap their torch kernel in an inner ``.conv`` module;
+    # the flax modules hold the kernel directly
+    causal_inner = re.compile(
+        r"\.(conv_in|conv_out|conv1|conv2|conv_y|conv_b)\.conv\.")
+
+    for key in list(state_dict):
+        if not key.endswith((".weight", ".bias")):
+            continue
+        path = causal_inner.sub(r".\1.", key)
+        path = (path
+                .replace("encoder.down_blocks.", "encoder.down_blocks_")
+                .replace("decoder.up_blocks.", "decoder.up_blocks_")
+                .replace(".resnets.", ".resnets_")
+                .replace(".downsamplers.0.", ".downsamplers_0.")
+                .replace(".upsamplers.0.", ".upsamplers_0."))
+        parts = path.split(".")
+        leaf = parts[-1]
+        scope = "/".join(parts[:-1])
+        w = state_dict[key]
+        used.add(key)
+        if leaf == "bias":
+            put(f"{scope}/bias", w)
+        elif w.ndim == 5:
+            if w.shape[2] == w.shape[3] == w.shape[4] == 1 and \
+                    parts[-2] == "conv_shortcut":
+                # SafeConv3d pointwise shortcut == Dense
+                put(f"{scope}/kernel", _to_dense(w[:, :, 0, 0, 0]))
+            else:
+                put(f"{scope}/kernel", _to_conv3d(w))
+        elif w.ndim == 4:                        # sampler Conv2d
+            put(f"{scope}/kernel", _to_conv2d(w)[None])
+        elif w.ndim == 1:                        # GroupNorm weight -> scale
+            put(f"{scope}/scale", w)
+        else:
+            raise ValueError(f"convert_cogvideox_vae: unexpected {key} "
+                             f"{w.shape}")
+
+    dropped = [k for k in state_dict if k not in used]
+    if dropped:
+        logger.warning(f"convert_cogvideox_vae: dropped {len(dropped)} keys "
+                       f"({dropped[:4]}{'...' if len(dropped) > 4 else ''})")
+    return {"params": params}
+
+
 CONVERTERS = {"edm": convert_edm, "dit": convert_dit, "wan": convert_wan,
               "wan_vae": convert_wan_vae,
+              "cogvideox_vae": convert_cogvideox_vae,
               "edm2": convert_edm2, "sd15": convert_sd_unet,
               "sdxl": convert_sd_unet, "flux": convert_flux,
               "cogvideox": convert_cogvideox, "cosmos": convert_cosmos,

@@ -44,13 +44,9 @@ run_point offload_attn 3 0       # offload frees HBM -> bigger groups
 run_point save_attn 3 0
 run_point save_attn 4 0
 
-note "fused GroupNorm A/B on the flagship EDM sampler bench"
-for fg in 0 1; do
-    line=$(FASTGEN_FUSED_GN=$fg FASTGEN_BENCH_REPS=5 timeout 900 python bench.py \
-        2>/dev/null | tail -1)
-    echo "{\"fused_gn\": $fg, \"rec\": $line}" >> quality/bench/fused_gn_ab.jsonl
-    note "  FUSED_GN=$fg -> $line"
-done
+# (the fused-GroupNorm A/B loop is gone: round 4 concluded the experiment
+# at -34% and DELETED the kernel + its FASTGEN_FUSED_GN hook, so re-running
+# it would silently benchmark the identical config twice — advisor r4 #3)
 git add quality/bench "$OUT" 2>/dev/null
-git commit -q -m "Post-quality bench batch: wan_train sweep + fused-GN A/B" 2>/dev/null
+git commit -q -m "Post-quality bench batch: wan_train sweep" 2>/dev/null
 note "done"

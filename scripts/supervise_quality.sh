@@ -43,7 +43,7 @@ newest_mtime() {
 
 for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
     note "attempt $attempt: launching pipeline"
-    setsid bash scripts/run_quality_v7.sh >> "$LOGS/pipeline_sup.log" 2>&1 &
+    setsid bash "$PIPELINE" >> "$LOGS/pipeline_sup.log" 2>&1 &
     PIPE=$!
     PGID=$(ps -o pgid= -p "$PIPE" | tr -d ' ')
     done_flag=""
