@@ -687,8 +687,20 @@ def flash_decode_attention(q, k, v, valid_len, scale: Optional[float] = None,
     def to_bh(x, n):
         return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
 
-    out = _decode_core(to_bh(q, n_q), to_bh(k, n_kv), to_bh(v, n_kv),
-                       valid_len, float(scale), block_q, block_k, interpret)
+    # Fold the softmax scale into the (small) QUERY tensor for sub-4-byte
+    # inputs, then run fwd+bwd with scale=1.0: the backward's recomputed
+    # logits then match the forward's lse bit-for-bit (advisor r4 #1 — the
+    # old behavior folded into k only inside ``_flash_backward``, so the
+    # backward reconstructed p from slightly different logits than produced
+    # the lse). q-side folding keeps the elementwise pass off the
+    # multi-GB KV cache; autodiff chains dq through the multiply.
+    qf = to_bh(q, n_q)
+    fold = scale != 1.0 and jnp.dtype(q.dtype).itemsize < 4
+    if fold:
+        qf = (qf.astype(jnp.float32) * scale).astype(q.dtype)
+    out = _decode_core(qf, to_bh(k, n_kv), to_bh(v, n_kv),
+                       valid_len, 1.0 if fold else float(scale),
+                       block_q, block_k, interpret)
     return out.reshape(b, h, n_q, d).transpose(0, 2, 1, 3)
 
 

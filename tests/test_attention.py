@@ -57,13 +57,18 @@ def test_flash_grad_matches_xla():
 
 
 @pytest.mark.parametrize("causal_block", [None, 64])
-def test_flash_grad_all_inputs(causal_block):
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flash_grad_all_inputs(causal_block, dtype):
     """The Pallas dq + dk/dv backward kernels match XLA grads for every
-    input, dense and block-causal."""
-    q, k, v = qkv(n=256)
+    input, dense and block-causal. bfloat16 exercises the scale-fold branch
+    (``fold = itemsize < 4``) in both forward and backward — previously
+    zero-covered (advisor r4 #2); tolerances widen to bf16 ulp scale."""
+    q, k, v = (x.astype(dtype) for x in qkv(n=256))
+    tol = dict(rtol=1e-3, atol=1e-4) if dtype == jnp.float32 else \
+        dict(rtol=5e-2, atol=5e-2)
 
     def loss(fn):
-        return lambda q_, k_, v_: (fn(q_, k_, v_) * jnp.cos(
+        return lambda q_, k_, v_: (fn(q_, k_, v_).astype(jnp.float32) * jnp.cos(
             jnp.arange(q.shape[1])[None, :, None, None])).sum()
 
     gf = jax.grad(loss(lambda *a: flash_attention(
@@ -71,8 +76,9 @@ def test_flash_grad_all_inputs(causal_block):
     gx = jax.grad(loss(lambda *a: _ref(*a, causal_block)),
                   argnums=(0, 1, 2))(q, k, v)
     for a, b, name in zip(gf, gx, "qkv"):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-4, err_msg=f"d{name}")
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   err_msg=f"d{name}", **tol)
 
 
 @pytest.mark.parametrize("n,causal_block", [(300, None), (520, 130)])
@@ -176,31 +182,37 @@ def test_flash_decode_grad_matches_dense():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-4)
 
 
-def test_flash_decode_grad_kv_under_jit():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flash_decode_grad_kv_under_jit(dtype):
     """Decode backward (Pallas, scalar-prefetch valid_len) matches dense
     grads for q, k AND v under jit with a traced valid_len; keys past
-    valid_len get exactly zero gradient."""
+    valid_len get exactly zero gradient. bfloat16 exercises the decode
+    q-side scale fold (forward and backward then share bit-identical
+    logits — advisor r4 #1/#2)."""
     b, h, d, nq, nkv = 1, 2, 32, 48, 256
-    q = jax.random.normal(jax.random.fold_in(KEY, 26), (b, nq, h, d))
-    k = jax.random.normal(jax.random.fold_in(KEY, 27), (b, nkv, h, d))
-    v = jax.random.normal(jax.random.fold_in(KEY, 28), (b, nkv, h, d))
+    q = jax.random.normal(jax.random.fold_in(KEY, 26), (b, nq, h, d), dtype)
+    k = jax.random.normal(jax.random.fold_in(KEY, 27), (b, nkv, h, d), dtype)
+    v = jax.random.normal(jax.random.fold_in(KEY, 28), (b, nkv, h, d), dtype)
+    tol = dict(rtol=1e-3, atol=1e-4) if dtype == jnp.float32 else \
+        dict(rtol=5e-2, atol=5e-2)
 
     @jax.jit
     def gflash(q_, k_, v_, vl):
         return jax.grad(lambda a, b_, c: (flash_decode_attention(
-            a, b_, c, vl, interpret=True, block_k=128) ** 2).sum(),
-            argnums=(0, 1, 2))(q_, k_, v_)
+            a, b_, c, vl, interpret=True, block_k=128).astype(
+                jnp.float32) ** 2).sum(), argnums=(0, 1, 2))(q_, k_, v_)
 
     for valid in (96, 160):
         vl = jnp.asarray(valid, jnp.int32)
         gf = gflash(q, k, v, vl)
-        gx = jax.grad(lambda a, b_, c: (_decode_ref(a, b_, c, vl) ** 2).sum(),
-                      argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(lambda a, b_, c: (_decode_ref(a, b_, c, vl).astype(
+            jnp.float32) ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
         for a, b_, name in zip(gf, gx, "qkv"):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                       rtol=1e-3, atol=1e-4, err_msg=f"d{name}")
-        assert np.all(np.asarray(gf[1][:, valid:]) == 0)
-        assert np.all(np.asarray(gf[2][:, valid:]) == 0)
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b_, np.float32),
+                                       err_msg=f"d{name}", **tol)
+        assert np.all(np.asarray(gf[1][:, valid:], np.float32) == 0)
+        assert np.all(np.asarray(gf[2][:, valid:], np.float32) == 0)
 
 
 @pytest.mark.parametrize("n,causal_block", [(300, None), (300, 100), (520, 130)])
