@@ -266,7 +266,14 @@ class WanBlock(nn.Module):
     #           the FFN forward runs 2x per step (primal + outer block
     #           recompute) instead of 3x, trading ~1.2 GB of transient
     #           backward workspace (the [N, ffn_dim] gelu interiors of one
-    #           block) for ~6% fewer executed FLOPs
+    #           block) for ~6% fewer executed FLOPs.
+    #           DEAD UNDER scan_blocks: with the grouped-scan double
+    #           checkpoint, XLA CSEs the inner FFN remat (prevent_cse=False)
+    #           so both modes compile to the same executed FLOPs — verified
+    #           by compiled cost_analysis on the toy CausalWan (6.506e7
+    #           flops for BOTH, vs 7.122e7 for "ffn"; r4 sweep timings were
+    #           bit-identical for the same reason). The distinction is only
+    #           live on the python-loop (scan_blocks=False) path.
     #   "offload_attn" — "save_attn" but the saved (out, lse) live in pinned
     #           host memory instead of HBM (the ~2.8 GB 30-block stack does
     #           not fit a 16 GB v5e next to params+grads; the 94 MB/block
