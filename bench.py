@@ -262,6 +262,11 @@ def bench_wan_train():
     cfg.remat_inner_mode = os.environ.get("FASTGEN_BENCH_REMAT_MODE",
                                           "save_attn")
     cfg.scan_group = int(os.environ.get("FASTGEN_BENCH_SCAN_GROUP", "2"))
+    # unrolled python loop over remat groups: identical boundaries to the
+    # grouped scan, but named-offload ("offload_attn") compiles — the libtpu
+    # async-offload bug only triggers inside scan bodies (WanVideoDiT.
+    # group_unroll; grad parity in tests/test_wan_remat.py)
+    cfg.group_unroll = os.environ.get("FASTGEN_BENCH_GROUP_UNROLL", "0") == "1"
     # bf16 residual stream by default: reference torch-autocast numerics
     # (parity-tested in tests/test_wan_remat.py) and the measured best config
     # — 0.124 steps/s / 37.5% MFU vs 0.109 / 32.8% with an f32 stream

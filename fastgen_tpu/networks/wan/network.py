@@ -464,6 +464,11 @@ class WanVideoDiT(FastGenNetwork):
     # Feature taps / skip_layers / KV-cache paths need per-block access and
     # require scan_blocks=False.
     scan_blocks: bool = False
+    # with scan_group > 1: unroll the outer group loop in python instead of
+    # lax.scan — same remat boundaries, but named-offload policies compile
+    # (the libtpu async-offload-under-scan bug only triggers inside scan
+    # bodies; see _remat_policy). Trades L/g x group-HLO compile time.
+    group_unroll: bool = False
     net_pred_type: str = "flow"
     schedule_type: str = "rf"
 
@@ -665,6 +670,42 @@ class WanVideoDiT(FastGenNetwork):
                     batched=(timestep_proj, context),
                     mesh=pp_lib.get_active_mesh(),
                     num_microbatches=pp_lib.auto_microbatches(x.shape[0], pp))
+            elif (self.scan_group > 1 and self.group_unroll
+                  and not self.is_initializing()
+                  and self.num_layers % self.scan_group == 0):
+                # UNROLLED grouped remat: a python loop over L/g checkpointed
+                # group segments, each containing a python loop over its g
+                # blocks — NO lax.scan anywhere, so the named-offload remat
+                # policy ("offload_attn") sits outside any scan body and
+                # sidesteps the libtpu async-start-under-scan compile bug
+                # documented in _remat_policy (r4 verdict task 2). Costs
+                # L/g x the group HLO in compile time vs the scan path;
+                # the remat boundary is identical to the grouped scan's, so
+                # activation workspace matches (grad parity:
+                # tests/test_wan_remat.py::test_group_unroll_matches_scan).
+                g = self.scan_group
+                stacked = self.variables["params"]["blocks"]
+                block = self.block_stack.clone()
+                grouped = jax.tree_util.tree_map(
+                    lambda a: a.reshape((self.num_layers // g, g)
+                                        + a.shape[1:]), stacked)
+
+                def _group_fn(y, p_group):
+                    for bi in range(g):
+                        p_b = jax.tree_util.tree_map(lambda a: a[bi], p_group)
+                        y, _ = block.apply(
+                            {"params": p_b}, y, timestep_proj, context,
+                            (cos, sin), frame_seqlen,
+                            causal_block=causal_block)
+                        y = shard_seq(y)
+                    return y
+
+                group_fn = jax.checkpoint(_group_fn, prevent_cse=False,
+                                          policy=self._remat_policy()) \
+                    if self.remat else _group_fn
+                for gi in range(self.num_layers // g):
+                    p_group = jax.tree_util.tree_map(lambda a: a[gi], grouped)
+                    x = group_fn(x, p_group)
             elif (self.scan_group > 1 and not self.is_initializing()
                   and self.num_layers % self.scan_group == 0):
                 # grouped scan: [L, ...] params reshaped to [L/g, g, ...];

@@ -58,6 +58,28 @@ def test_scan_remat_grad_parity(ref, scan_group, mode):
         f"from the unrematted reference (scale {scale:.2e})")
 
 
+@pytest.mark.parametrize("mode", ["save_attn", "offload_attn"])
+def test_group_unroll_matches_scan(ref, mode):
+    """group_unroll: python loop over checkpointed groups (the named-offload
+    escape hatch for the libtpu async-offload-under-scan bug, r4 verdict
+    task 2) — identical remat boundaries to the grouped scan, identical
+    gradients."""
+    x, t, ctx, params, g_ref, scale = ref
+    net = WanVideoDiT(**KW, remat=True, scan_blocks=True, group_unroll=True,
+                      remat_inner_mode=mode, scan_group=2)
+
+    def loss(p):
+        sp = {"params": stack_block_params(p["params"])}
+        return jnp.sum(net.apply(sp, x, t, ctx) ** 2)
+
+    g = jax.jit(jax.grad(loss))(params)
+    worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g)))
+    assert worst < 1e-3 * scale, (
+        f"group_unroll mode={mode}: grad deviates {worst:.3e} "
+        f"(scale {scale:.2e})")
+
+
 @pytest.mark.parametrize("mode", ["all", "ffn", "save_attn", "save_attn_noffn",
                                   "offload_attn_noffn"])
 def test_pyloop_remat_grad_parity(ref, mode):
