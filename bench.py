@@ -123,6 +123,11 @@ def main():
     flops_per_call = _analytic_flops(fn, params, noise, key)
 
     reps = int(os.environ.get("FASTGEN_BENCH_REPS", "10"))
+    # FASTGEN_BENCH_PROFILE=<dir>: capture a jax.profiler trace of the timed
+    # loop (device xplane) for scripts/profile_flagship.py's op attribution
+    prof_dir = os.environ.get("FASTGEN_BENCH_PROFILE")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     t_start = time.perf_counter()
     prev = noise
     for i in range(reps):
@@ -130,6 +135,8 @@ def main():
         prev = fn(params, prev, jax.random.fold_in(key, i))
     sync(prev)
     elapsed = time.perf_counter() - t_start
+    if prof_dir:
+        jax.profiler.stop_trace()
     samples_per_sec = batch * reps / elapsed
     mfu, device_kind = _mfu(flops_per_call, reps, elapsed)
 
