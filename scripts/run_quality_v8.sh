@@ -152,7 +152,9 @@ fi
 SCKPT=$ROOT/fastgen/procgen/$STUDENT_NAME/checkpoints
 SLAST=$(ls "$SCKPT" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
 [ -n "$SLAST" ] || { log "FATAL: $SCKPT has no checkpoints — v8 is resume-only"; exit 1; }
-SSTART=$SLAST
+# FID-sweep base: everything ABOVE the v7b endpoint is a v8 row. Fixed (not
+# $SLAST) so a supervisor restart mid-student cannot shrink the sweep range.
+SSTART=${STUDENT_FID_BASE:-14599}
 if [ "$SLAST" -lt "$STUDENT_ITERS" ]; then
     log "stage: student (resume at $SLAST -> ${STUDENT_ITERS} iters, bs=$STUDENT_BS, teacher @$TLAST)"
     with_graceful_budget $STUDENT_BUDGET python train.py \
