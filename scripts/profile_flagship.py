@@ -38,41 +38,46 @@ def capture(out_dir: str, reps: int) -> str:
 
 
 def op_table(out_dir: str):
-    """Parse the captured xplane into per-op totals via the tensorflow
-    profiler's op-stats converter."""
+    """Parse the captured xplane directly (the tensorboard_plugin_profile
+    converter is broken against this TF build): per-plane, per-event-name
+    total durations — on the TPU device plane those are XLA op/fusion
+    executions, which is exactly the attribution we need."""
     xplanes = glob.glob(os.path.join(out_dir, "trace", "**", "*.xplane.pb"),
                         recursive=True)
     if not xplanes:
         raise SystemExit(f"no xplane under {out_dir}/trace")
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "op_profile", {})
-    prof = json.loads(data)
+    xs = xplane_pb2.XSpace()
+    with open(sorted(xplanes)[-1], "rb") as f:
+        xs.ParseFromString(f.read())
 
-    rows = []
-
-    def walk(node, path):
-        ms = node.get("metrics", {})
-        children = node.get("children", [])
-        if not children and ms:
-            rows.append({
-                "name": node.get("name", "?"),
-                "path": "/".join(path[-2:]),
-                "time_frac": ms.get("timeFraction", 0.0),
-                "flop_rate": ms.get("flopRate", 0.0),
-            })
-        for c in children:
-            walk(c, path + [node.get("name", "?")])
-
-    root = prof.get("byProgram") or prof.get("byCategory") or {}
-    walk(root, [])
-    rows.sort(key=lambda r: -r["time_frac"])
+    report = {}
+    for plane in xs.planes:
+        totals: dict = {}
+        md = plane.event_metadata
+        for line in plane.lines:
+            for ev in line.events:
+                name = (md[ev.metadata_id].name
+                        if ev.metadata_id in md else "?")
+                totals[name] = totals.get(name, 0) + ev.duration_ps
+        if not totals:
+            continue
+        rows = sorted(totals.items(), key=lambda kv: -kv[1])
+        plane_total = sum(totals.values())
+        report[plane.name] = {
+            "total_ms": plane_total / 1e9,
+            "ops": [{"name": n, "ms": d / 1e9,
+                     "frac": d / plane_total} for n, d in rows[:60]],
+        }
+        # device planes are the interesting ones
+        if "TPU" in plane.name or "device" in plane.name.lower():
+            print(f"\n== {plane.name}: {plane_total/1e9:.2f} ms total")
+            for n, d in rows[:25]:
+                print(f"  {100*d/plane_total:6.2f}%  {d/1e9:9.3f} ms  {n[:85]}")
     with open(os.path.join(out_dir, "op_table.json"), "w") as f:
-        json.dump(rows, f, indent=1)
-    print(f"\nTop device ops by self-time fraction ({len(rows)} leaves):")
-    for r in rows[:20]:
-        print(f"  {r['time_frac']*100:6.2f}%  {r['name'][:90]}")
-    return rows
+        json.dump(report, f, indent=1)
+    return report
 
 
 def main():
