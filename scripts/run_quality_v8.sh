@@ -58,8 +58,12 @@ committer() {
     local sdir=$ROOT/fastgen/procgen/$STUDENT_NAME/checkpoints
     while true; do
         sleep 240
-        cp -f "$tdir/fid.json" "$LOGS/fid_teacher_live.json" 2>/dev/null || true
-        cp -f "$sdir/fid.json" "$LOGS/fid_student_live.json" 2>/dev/null || true
+        # cp -u: only copy when the SOURCE is newer — an unconditional cp -f
+        # refreshes the live-copy mtimes every cycle, which feeds the stall
+        # supervisor's newest-mtime liveness probe and masks real wedges
+        # (observed 2026-08-21: student blocked 12+ min, supervisor silent)
+        cp -u "$tdir/fid.json" "$LOGS/fid_teacher_live.json" 2>/dev/null || true
+        cp -u "$sdir/fid.json" "$LOGS/fid_student_live.json" 2>/dev/null || true
         git add quality/ckpt "$LOGS" 2>/dev/null
         if ! git diff --cached --quiet 2>/dev/null; then
             git commit -q -m "quality $RUN_TAG: checkpoint snapshots + logs (auto)" \
