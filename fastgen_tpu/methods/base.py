@@ -409,14 +409,35 @@ class FastGenModel:
                 params = self._merge_pretrained_nets(params, variables, path)
         student_path = getattr(self.config, "pretrained_student_net_path", "")
         if student_path and self.config.load_student_weights:
-            from fastgen_tpu.utils import torch_convert
+            # same three source kinds as pretrained_model_path, but the overlay
+            # targets ONLY params["net"] — e.g. resuming a distillation student
+            # from a committed npz snapshot while pretrained_model_path seeds
+            # teacher/fake_score from the teacher's snapshot (the Orbax run dir
+            # died with its session; QUALITY.md v8b)
+            from fastgen_tpu.utils.checkpointer import (load_native_net_params,
+                                                        load_net_params_npz,
+                                                        tolerant_merge)
 
-            arch = self._checkpoint_arch(self.net)
-            if arch:
-                variables = _tree_cast(
-                    torch_convert.convert_checkpoint(student_path, arch),
-                    self.precision)
-                params["net"] = self._merge_variables(params["net"], variables)
+            if os.path.isdir(student_path):
+                variables = _tree_cast(load_native_net_params(student_path),
+                                       self.precision)
+                params["net"] = tolerant_merge(params["net"], variables,
+                                               f"{student_path}:net")
+            elif student_path.endswith(".npz"):
+                variables = _tree_cast(load_net_params_npz(student_path),
+                                       self.precision)
+                params["net"] = tolerant_merge(params["net"], variables,
+                                               f"{student_path}:net")
+            else:
+                from fastgen_tpu.utils import torch_convert
+
+                arch = self._checkpoint_arch(self.net)
+                if arch:
+                    variables = _tree_cast(
+                        torch_convert.convert_checkpoint(student_path, arch),
+                        self.precision)
+                    params["net"] = self._merge_variables(params["net"],
+                                                          variables)
         return params
 
     def _merge_pretrained_nets(self, params: Dict[str, Any], variables,

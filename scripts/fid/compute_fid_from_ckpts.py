@@ -52,6 +52,17 @@ def parse_args():
                    help="student: few-step generator_fn (the distillation "
                         "protocol); teacher: the net's own multi-step sampler "
                         "(--steps, default 35) — the upper-bound row")
+    p.add_argument("--npz", default=None,
+                   help="glob of committed param-snapshot npz files "
+                        "(save_net_params_npz) to score instead of an Orbax "
+                        "run dir — the step label is the trailing _<iter> of "
+                        "each filename. Lets FID rows be recovered after the "
+                        "untracked Orbax output root dies with its session "
+                        "(QUALITY.md v8b).")
+    p.add_argument("--out", default=None,
+                   help="fid.json output path (default: <ckpt save dir>/"
+                        "fid.json; required sidestep when --npz snapshots "
+                        "have no run dir)")
     return p.parse_args(argv), overrides
 
 
@@ -85,20 +96,38 @@ def main():
     if args.max_ckpt is None:
         args.max_ckpt = config.eval.max_ckpt
     model = init_model(config)
-    # checkpoints exclude frozen nets (teacher/cm_teacher) — prune the
-    # template. load_pretrained=False: a full checkpoint restore follows, so
-    # the training-time pretrained teacher path must not be required here.
-    state_template = model.prune_for_checkpoint(
-        model.init_state(jax.random.PRNGKey(config.trainer.seed),
-                         load_pretrained=False))
+    if args.npz:
+        # committed single-file snapshots: each IS the (EMA) net variable
+        # tree, so no state template / Orbax manager is involved at all
+        import glob
+        import re
 
-    save_dir = args.ckpt_dir or os.path.join(config.log_config.save_path,
-                                             config.trainer.checkpointer.save_dir)
-    ckpt = Checkpointer(save_dir, async_save=False)
-    steps_avail = sorted(s for s in (ckpt.manager.all_steps() or [])
-                         if args.min_ckpt <= s <= args.max_ckpt)
-    if not steps_avail:
-        raise FileNotFoundError(f"No checkpoints in {save_dir}")
+        ckpt, state_template = None, None
+        npz_by_step = {}
+        for path in glob.glob(args.npz):
+            m = re.search(r"_(\d+)\.npz$", os.path.basename(path))
+            if m and args.min_ckpt <= int(m.group(1)) <= args.max_ckpt:
+                npz_by_step[int(m.group(1))] = path
+        steps_avail = sorted(npz_by_step)
+        save_dir = os.path.dirname(args.out) if args.out else "."
+        if not steps_avail:
+            raise FileNotFoundError(f"No snapshots match {args.npz}")
+    else:
+        # checkpoints exclude frozen nets (teacher/cm_teacher) — prune the
+        # template. load_pretrained=False: a full checkpoint restore follows,
+        # so the training-time pretrained teacher path must not be required
+        # here.
+        state_template = model.prune_for_checkpoint(
+            model.init_state(jax.random.PRNGKey(config.trainer.seed),
+                             load_pretrained=False))
+
+        save_dir = args.ckpt_dir or os.path.join(
+            config.log_config.save_path, config.trainer.checkpointer.save_dir)
+        ckpt = Checkpointer(save_dir, async_save=False)
+        steps_avail = sorted(s for s in (ckpt.manager.all_steps() or [])
+                             if args.min_ckpt <= s <= args.max_ckpt)
+        if not steps_avail:
+            raise FileNotFoundError(f"No checkpoints in {save_dir}")
 
     detector = fid_lib.get_detector(args.detector, args.detector_path)
     print(f"Detector: {type(detector).__name__} (dim {detector.feature_dim})")
@@ -111,12 +140,21 @@ def main():
     with np.load(args.ref) as ref:
         mu_ref, sigma_ref = ref["mu"], ref["sigma"]
     for step in steps_avail:
-        state, _, _ = ckpt.load(state_template, step=step)
-        # Orbax restores host numpy arrays; device_put + passing params as an
-        # EXPLICIT jit argument keeps them out of the lowered HLO — closed-over
-        # numpy leaves are inlined as literal constants, which blows the
-        # compile RPC past the TPU tunnel's request-size limit (HTTP 413).
-        params_net = jax.device_put(select_params(model, state))
+        if args.npz:
+            from fastgen_tpu.utils.checkpointer import load_net_params_npz
+
+            variables = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, model.precision),
+                load_net_params_npz(npz_by_step[step]))
+            params_net = jax.device_put(variables)
+        else:
+            state, _, _ = ckpt.load(state_template, step=step)
+            # Orbax restores host numpy arrays; device_put + passing params
+            # as an EXPLICIT jit argument keeps them out of the lowered HLO —
+            # closed-over numpy leaves are inlined as literal constants, which
+            # blows the compile RPC past the TPU tunnel's request-size limit
+            # (HTTP 413).
+            params_net = jax.device_put(select_params(model, state))
 
         def gen_batch(params_net, key):
             noise = jax.random.normal(
@@ -208,11 +246,11 @@ def main():
                            detector)
 
     if rank == 0:
-        print(f"Wrote {os.path.join(save_dir, 'fid.json')}")
+        print(f"Wrote {args.out or os.path.join(save_dir, 'fid.json')}")
 
 
 def _write_results(args, config, results, save_dir, sample_steps, detector):
-        out_path = os.path.join(save_dir, "fid.json")
+        out_path = args.out or os.path.join(save_dir, "fid.json")
         # self-describing artifact: a later reader can audit every row
         # without the run log (ref fid.json is keyed by full config,
         # ``/root/reference/scripts/fid/compute_fid_from_ckpts.py:66-253``)
@@ -231,6 +269,8 @@ def _write_results(args, config, results, save_dir, sample_steps, detector):
             "feature_dim": int(detector.feature_dim),
             "ref_stats": args.ref,
         }
+        if args.npz:
+            payload["protocol"]["source"] = f"npz:{args.npz}"
         with open(out_path, "w") as f:
             json.dump(payload, f, indent=2)
         print(f"Wrote {out_path}")

@@ -247,6 +247,39 @@ class TestNativePretrainedLoad:
         assert tree_equal(state2.params["teacher"], src)
         assert tree_equal(state2.params["fake_score"], src)
 
+    def test_dmd2_student_npz_overlay(self, model_and_state, tmp_path):
+        """pretrained_student_net_path=<file>.npz overlays ONLY the student
+        net while pretrained_model_path seeds teacher/fake_score — the
+        recovery path when a distillation run's Orbax root dies and both
+        curves must warm-start from committed snapshots (QUALITY.md v8b)."""
+        from fastgen_tpu.utils.checkpointer import save_net_params_npz
+
+        _, model, state = model_and_state
+        teacher_src = state.ema[sorted(state.ema)[0]] if state.ema \
+            else state.params["net"]
+        student_src = jax.tree_util.tree_map(lambda a: a + 1.0,
+                                             state.params["net"])
+        tsnap = str(tmp_path / "teacher.npz")
+        ssnap = str(tmp_path / "student.npz")
+        save_net_params_npz(teacher_src, tsnap, dtype="float32")
+        save_net_params_npz(student_src, ssnap, dtype="float32")
+
+        cfg2 = create_dmd2_test_config()
+        cfg2.trainer.callbacks = {}
+        cfg2.model.net.model_channels = 8
+        cfg2.model.net.num_blocks = 1
+        cfg2.model.pretrained_model_path = tsnap
+        cfg2.model.pretrained_student_net_path = ssnap
+        model2 = instantiate(cfg2.model_class, config=cfg2.model)
+        model2.init_optimizers()
+        state2 = model2.init_state(jax.random.PRNGKey(9))
+        assert tree_equal(state2.params["teacher"], teacher_src)
+        assert tree_equal(state2.params["fake_score"], teacher_src)
+        assert tree_equal(state2.params["net"], student_src)
+        # EMA starts at the warm-started student, not the teacher
+        if state2.ema:
+            assert tree_equal(state2.ema[sorted(state2.ema)[0]], student_src)
+
     def test_dmd2_consumes_stage1_checkpoint(self, model_and_state, tmp_path):
         _, model, state = model_and_state
         ck = Checkpointer(str(tmp_path / "stage1"), async_save=False)
